@@ -1,0 +1,149 @@
+"""FASTQ(.gz) streaming reader producing padded device-ready batches.
+
+The reference feeds BWA interleaved (``-p``) or paired FASTQ files
+(bin/speedseq:438,468); realign keeps FASTQ comments for read-group
+round-tripping (``bwa mem -C``, bin/speedseq:1961).  We reproduce both
+entry points but emit fixed-shape numpy batches (the TPU pipeline's unit
+of work) instead of a byte stream.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .fasta import encode_bases
+
+
+@dataclass
+class ReadBatch:
+    """A padded batch of reads: the device-facing unit of work.
+
+    seq:    (n, max_len) uint8, A=0 C=1 G=2 T=3 N=4; padded with 4
+    qual:   (n, max_len) uint8 phred scores, padded with 0
+    length: (n,) int32
+    names:  list of read names (host-side metadata)
+    comments: optional FASTQ comments (for `-C` read-group retention)
+    """
+
+    seq: np.ndarray
+    qual: np.ndarray
+    length: np.ndarray
+    names: List[str]
+    comments: List[str] = field(default_factory=list)
+
+    @property
+    def n(self) -> int:
+        return len(self.names)
+
+
+def _open(path: str):
+    fh = open(path, "rb")
+    magic = fh.read(2)
+    fh.seek(0)
+    if magic == b"\x1f\x8b":
+        return io.BufferedReader(gzip.GzipFile(fileobj=fh))  # type: ignore
+    return fh
+
+
+def iter_records(path: str) -> Iterator[Tuple[str, str, bytes, bytes]]:
+    """Yield (name, comment, seq_bytes, qual_bytes) per record."""
+    with _open(path) as fh:
+        while True:
+            hdr = fh.readline()
+            if not hdr:
+                return
+            hdr = hdr.rstrip(b"\r\n")
+            if not hdr:
+                continue
+            if not hdr.startswith(b"@"):
+                raise ValueError(f"bad FASTQ header: {hdr[:50]!r}")
+            seq = fh.readline().rstrip(b"\r\n")
+            plus = fh.readline()
+            qual = fh.readline().rstrip(b"\r\n")
+            if not plus.startswith(b"+") or len(seq) != len(qual):
+                raise ValueError("malformed FASTQ record")
+            parts = hdr[1:].split(None, 1)
+            name = parts[0].decode()
+            comment = parts[1].decode() if len(parts) > 1 else ""
+            yield name, comment, seq, qual
+
+
+def _batch(records, max_len: int) -> ReadBatch:
+    n = len(records)
+    seq = np.full((n, max_len), 4, dtype=np.uint8)
+    qual = np.zeros((n, max_len), dtype=np.uint8)
+    length = np.zeros(n, dtype=np.int32)
+    names, comments = [], []
+    for i, (name, comment, s, q) in enumerate(records):
+        L = min(len(s), max_len)
+        seq[i, :L] = encode_bases(s[:L])
+        qual[i, :L] = np.frombuffer(q[:L], dtype=np.uint8) - 33
+        length[i] = L
+        names.append(name)
+        comments.append(comment)
+    return ReadBatch(seq, qual, length, names, comments)
+
+
+def iter_batches(
+    path: str,
+    batch_size: int = 4096,
+    max_len: int = 152,
+    paired_with: Optional[str] = None,
+    interleaved: bool = False,
+) -> Iterator[Tuple[ReadBatch, Optional[ReadBatch]]]:
+    """Yield (read1_batch, read2_batch|None).
+
+    - two files (`paired_with`): batches are position-matched R1/R2
+      (bin/speedseq:468 two-file mode)
+    - `interleaved`: consecutive records pair up (bwa mem -p,
+      bin/speedseq:438)
+    - else: single-end, second element is None
+    """
+    if paired_with is not None:
+        it1, it2 = iter_records(path), iter_records(paired_with)
+        while True:
+            r1 = list(_take(it1, batch_size))
+            r2 = list(_take(it2, batch_size))
+            if not r1:
+                return
+            if len(r1) != len(r2):
+                raise ValueError("paired FASTQ files have unequal lengths")
+            yield _batch(r1, max_len), _batch(r2, max_len)
+    elif interleaved:
+        it = iter_records(path)
+        while True:
+            recs = list(_take(it, batch_size * 2))
+            if not recs:
+                return
+            if len(recs) % 2:
+                raise ValueError("odd record count in interleaved FASTQ")
+            yield _batch(recs[0::2], max_len), _batch(recs[1::2], max_len)
+    else:
+        it = iter_records(path)
+        while True:
+            recs = list(_take(it, batch_size))
+            if not recs:
+                return
+            yield _batch(recs, max_len), None
+
+
+def _take(it, n):
+    for _ in range(n):
+        try:
+            yield next(it)
+        except StopIteration:
+            return
+
+
+def write_fastq(path: str, names, seqs, quals, comments=None) -> None:
+    """Plain/interleaved FASTQ writer (bamtofastq.py equivalent output)."""
+    op = gzip.open if path.endswith(".gz") else open
+    with op(path, "wt") as fh:
+        for i, name in enumerate(names):
+            c = f" {comments[i]}" if comments and comments[i] else ""
+            fh.write(f"@{name}{c}\n{seqs[i]}\n+\n{quals[i]}\n")
