@@ -1,0 +1,114 @@
+"""Seed chaining: diagonal-binned grouping of seeds into candidate chains.
+
+TPU-native take on BWA-MEM's chaining [external knowledge: mem_chain's
+O(n log n) b-tree insertion; only the CLI contract is pinned by the
+reference].  Seeds are sorted by (strand, diagonal, rpos) with a single
+fixed-shape argsort; chain boundaries fall where the diagonal jumps by
+more than ``band`` or strands differ; per-chain weights reduce via
+segment ops.  Top-K chains come out as fixed-shape anchor records for the
+extension stage.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .seeding import Seeds
+
+
+class Chains(NamedTuple):
+    """Top-K candidate chains per read; all (B, K)."""
+
+    anchor_rpos: jnp.ndarray   # genome pos of the chain's longest seed
+    anchor_qpos: jnp.ndarray   # read pos (strand frame) of that seed
+    anchor_len: jnp.ndarray
+    strand: jnp.ndarray
+    weight: jnp.ndarray        # total seed bases in chain (approx score)
+    valid: jnp.ndarray         # bool
+
+
+@functools.partial(jax.jit, static_argnames=("k", "band", "max_chain_gap"))
+def chain_seeds(
+    seeds: Seeds,
+    read_len: int,
+    k: int = 4,
+    band: int = 100,          # bwa -w band width
+    max_chain_gap: int = 10000,
+) -> Chains:
+    B, S = seeds.rpos.shape
+    diag = seeds.rpos - seeds.qpos + read_len  # ≥ 0
+    # sort key: invalid lanes to the end; strand above diagonal
+    BIG = jnp.int32(2**30)
+    key = jnp.where(
+        seeds.valid,
+        seeds.strand * BIG + diag,
+        jnp.int32(2**31 - 1),
+    )
+    order = jnp.argsort(key, axis=1)
+    take = lambda a: jnp.take_along_axis(a, order, axis=1)
+    rpos = take(seeds.rpos)
+    qpos = take(seeds.qpos)
+    slen = take(seeds.length)
+    strand = take(seeds.strand)
+    valid = take(seeds.valid)
+    dg = take(diag)
+
+    prev_same = (
+        (strand[:, 1:] == strand[:, :-1])
+        & (jnp.abs(dg[:, 1:] - dg[:, :-1]) <= band)
+        & (jnp.abs(rpos[:, 1:] - rpos[:, :-1]) <= max_chain_gap)
+        & valid[:, 1:]
+        & valid[:, :-1]
+    )
+    new_chain = jnp.concatenate(
+        [jnp.ones((B, 1), dtype=jnp.int32), 1 - prev_same.astype(jnp.int32)],
+        axis=1,
+    )
+    cid = jnp.cumsum(new_chain, axis=1) - 1  # (B, S) chain ids in [0, S)
+
+    zero_invalid = lambda v: jnp.where(valid, v, 0)
+    # chain weight: approximate non-overlapping coverage — sum of per-seed
+    # query-novel bases (seed len minus overlap with previous seed in chain)
+    qend_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), (qpos + slen)[:, :-1]], axis=1
+    )
+    novel = jnp.where(
+        new_chain == 1, slen, jnp.clip(qpos + slen - jnp.maximum(qpos, qend_prev), 0)
+    )
+    weight = jnp.zeros((B, S), jnp.int32).at[
+        jnp.arange(B)[:, None], cid
+    ].add(zero_invalid(novel))
+    chain_valid = (
+        jnp.zeros((B, S), jnp.int32)
+        .at[jnp.arange(B)[:, None], cid]
+        .add(valid.astype(jnp.int32))
+        > 0
+    )
+
+    # anchor = longest seed in chain (scatter-max on (len<<12|slot))
+    slot = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
+    packed = jnp.where(valid, slen * jnp.int32(4096) + slot, -1)
+    best_packed = jnp.full((B, S), -1, jnp.int32).at[
+        jnp.arange(B)[:, None], cid
+    ].max(packed)
+    anchor_slot = jnp.clip(best_packed % 4096, 0, S - 1)
+
+    gat = lambda a: jnp.take_along_axis(a, anchor_slot, axis=1)
+    a_rpos, a_qpos, a_len, a_strand = gat(rpos), gat(qpos), gat(slen), gat(strand)
+
+    # top-K chains by weight
+    w_for_rank = jnp.where(chain_valid, weight, -1)
+    topw, topi = jax.lax.top_k(w_for_rank, k)
+    sel = lambda a: jnp.take_along_axis(a, topi, axis=1)
+    return Chains(
+        anchor_rpos=sel(a_rpos),
+        anchor_qpos=sel(a_qpos),
+        anchor_len=sel(a_len),
+        strand=sel(a_strand),
+        weight=topw,
+        valid=topw > 0,
+    )

@@ -1,0 +1,464 @@
+"""speedseq align equivalent: FASTQ → sorted BAM + splitters + discordants.
+
+Reproduces the reference align module (bin/speedseq:189-504): the 4-process
+pipe ``bwa mem | samblaster | sambamba view | sambamba sort`` plus two FIFO
+side pipelines collapse into one device graph + host epilogue:
+
+  device: seeding / chaining / SW extension (align_candidates)
+  host:   insert-distro estimation, joint pair selection, MAPQ, NM/MD,
+          dup marking, splitter/discordant extraction, coordinate sort,
+          BAM+BAI emission
+
+Outputs: {out}.bam, {out}.splitters.bam, {out}.discordants.bam (+ .bai),
+with splitter/discordant SEQ/QUAL stripped exactly like the reference's
+gawk stage (bin/speedseq:443-447).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..formats import bam, bai, fastq
+from ..formats.sam import (
+    FDUP, FMREVERSE, FMUNMAP, FPAIRED, FPROPER_PAIR, FREAD1, FREAD2,
+    FREVERSE, FSUPPLEMENTARY, FUNMAP, SAMHeader, SAMRecord, cigar_to_str,
+)
+from ..formats.fasta import decode_bases
+from ..index.bwt import BWAIndex, build_index, load_index
+from ..index.fm import FMIndex
+from .core import Candidates, HostAlignment, align_candidates, select_alignments
+from .markdup import (
+    make_sa_tag, mark_duplicates, split_qualifies, strip_seq, unclipped_5p,
+)
+from .pairing import InsertDistro, joint_pair_select, is_proper
+
+
+@dataclass
+class AlignConfig:
+    batch_size: int = 512
+    max_read_len: int = 151
+    n_chains: int = 4
+    min_seed_len: int = 19
+    rg_id: str = "1"
+    sample: str = "sample"
+    rg_string: Optional[str] = None   # full @RG line override (bwa -R)
+    include_dups_in_side: bool = False  # speedseq -i (bin/speedseq:267-269)
+    verbose: bool = False
+
+
+def _load_fm(reference: str) -> Tuple[BWAIndex, FMIndex]:
+    # auto `bwa index` behavior (bin/speedseq:386-391)
+    if not os.path.exists(reference + ".bwt"):
+        idx = build_index(reference)
+    else:
+        idx = load_index(reference)
+    return idx, FMIndex.from_bwa(idx)
+
+
+def _phred(q: np.ndarray, length: int) -> str:
+    return "".join(chr(min(int(x), 93) + 33) for x in q[:length])
+
+
+@dataclass
+class _PairRow:
+    """Host record of one read end (primary + optional supplementary)."""
+
+    name: str
+    seq: str
+    qual: str
+    aln: HostAlignment
+    supp: Optional[HostAlignment]
+    tid: int
+
+
+def align_fastq(
+    reference: str,
+    fq1: str,
+    fq2: Optional[str] = None,
+    interleaved: bool = False,
+    out_prefix: str = "out",
+    config: AlignConfig = AlignConfig(),
+) -> Dict[str, str]:
+    """Run the full align module; returns output paths."""
+    t0 = time.time()
+    idx, fm = _load_fm(reference)
+    cfg = config
+
+    rows1: List[_PairRow] = []
+    rows2: List[_PairRow] = []
+    distro: Optional[InsertDistro] = None
+    paired = fq2 is not None or interleaved
+    n_reads = 0
+
+    for b1, b2 in fastq.iter_batches(
+        fq1, batch_size=cfg.batch_size, max_len=cfg.max_read_len,
+        paired_with=fq2, interleaved=interleaved,
+    ):
+        n = b1.n
+        batches = [b1] + ([b2] if b2 is not None else [])
+        cands, seqs_p, lens_p = [], [], []
+        for bb in batches:
+            seq = _pad_batch(bb.seq, cfg.batch_size)
+            lng = _pad_batch(bb.length[:, None], cfg.batch_size)[:, 0]
+            seqs_p.append(seq)
+            lens_p.append(lng)
+            cands.append(
+                align_candidates(
+                    fm, seq, lng, n_chains=cfg.n_chains,
+                    min_seed_len=cfg.min_seed_len,
+                )
+            )
+        if paired and b2 is not None:
+            if distro is None:
+                distro = _estimate_distro(cands[0], cands[1], cfg)
+                if cfg.verbose:
+                    print(
+                        f"[align] insert distro mean={distro.mean:.1f} "
+                        f"std={distro.std:.1f} bounds=[{distro.low},{distro.high}]"
+                    )
+            k1, k2, _ = joint_pair_select(cands[0], cands[1], distro)
+            sels = [
+                select_alignments(cands[0], seqs_p[0], lens_p[0], chosen_k=k1),
+                select_alignments(cands[1], seqs_p[1], lens_p[1], chosen_k=k2),
+            ]
+        else:
+            sels = [select_alignments(cands[0], seqs_p[0], lens_p[0])]
+
+        for i in range(n):
+            for which, (bb, sel, rows) in enumerate(
+                zip(batches, sels, [rows1, rows2])
+            ):
+                prim, supp = sel[i]
+                L = int(bb.length[i])
+                tid = (
+                    int(idx.tid_for_pos(np.asarray([prim.pos]))[0])
+                    if prim.aligned
+                    else -1
+                )
+                rows.append(
+                    _PairRow(
+                        name=bb.names[i],
+                        seq=decode_bases(bb.seq[i, :L]).decode(),
+                        qual=_phred(bb.qual[i], L),
+                        aln=prim,
+                        supp=supp,
+                        tid=tid,
+                    )
+                )
+        n_reads += n * len(batches)
+
+    if distro is None:
+        distro = InsertDistro(mean=300.0, std=100.0, low=50, high=700)
+
+    header = SAMHeader.build(
+        refs=list(zip(idx.names, idx.lengths)),
+        read_groups=[_rg_line(cfg)],
+        sort_order="coordinate",
+        programs=[f"@PG\tID:speedseq_tpu\tPN:speedseq_tpu\tVN:0.1.0"],
+    )
+
+    main, splitters, discordants = assemble_records(
+        rows1, rows2 if paired else None, idx, distro, cfg
+    )
+
+    outputs = {}
+    for recs, suffix in (
+        (main, ".bam"),
+        (splitters, ".splitters.bam"),
+        (discordants, ".discordants.bam"),
+    ):
+        path = out_prefix + suffix
+        _sort_and_write(recs, header, path)
+        bai.build_bai(path)
+        outputs[suffix[1:]] = path
+    if cfg.verbose:
+        dt = time.time() - t0
+        print(f"[align] {n_reads} reads in {dt:.1f}s ({n_reads/dt:.0f} reads/s)")
+    return outputs
+
+
+def _rg_line(cfg: AlignConfig) -> str:
+    if cfg.rg_string:
+        return cfg.rg_string.replace("\\t", "\t")
+    return f"@RG\tID:{cfg.rg_id}\tSM:{cfg.sample}"
+
+
+def _pad_batch(a: np.ndarray, n: int) -> np.ndarray:
+    if a.shape[0] == n:
+        return a
+    pad = np.zeros((n - a.shape[0],) + a.shape[1:], dtype=a.dtype)
+    if a.dtype == np.uint8 and a.ndim == 2:
+        pad[:] = 4
+    return np.concatenate([a, pad], axis=0)
+
+
+def _estimate_distro(c1: Candidates, c2: Candidates, cfg: AlignConfig) -> InsertDistro:
+    k1 = np.argmax(np.asarray(c1.score), axis=1)
+    k2 = np.argmax(np.asarray(c2.score), axis=1)
+    bi = np.arange(len(k1))
+    return InsertDistro.estimate(
+        np.asarray(c1.pos)[bi, k1], np.asarray(c1.strand)[bi, k1],
+        np.asarray(c1.score)[bi, k1], np.asarray(c1.rend_pos)[bi, k1],
+        np.asarray(c2.pos)[bi, k2], np.asarray(c2.strand)[bi, k2],
+        np.asarray(c2.score)[bi, k2], np.asarray(c2.rend_pos)[bi, k2],
+        qlen=cfg.max_read_len,
+    )
+
+
+def _revcomp_str(s: str) -> str:
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+    return "".join(comp.get(c, "N") for c in reversed(s))
+
+
+def assemble_records(
+    rows1: List[_PairRow],
+    rows2: Optional[List[_PairRow]],
+    idx: BWAIndex,
+    distro: InsertDistro,
+    cfg: AlignConfig,
+):
+    """Build SAM records with pair flags, mate tags, dup marks, and the
+    splitter/discordant side channels."""
+    paired = rows2 is not None
+    n = len(rows1)
+    main: List[SAMRecord] = []
+    splitters: List[SAMRecord] = []
+    discordants: List[SAMRecord] = []
+
+    # offsets convert genome pos → (tid, chrom pos)
+    offsets = np.asarray(idx.offsets + [idx.l_pac], dtype=np.int64)
+
+    def chrom_pos(row: _PairRow, a: HostAlignment) -> Tuple[int, int, int]:
+        if not a.aligned:
+            return -1, -1, -1
+        tid = int(np.searchsorted(offsets, a.pos, side="right") - 1)
+        return tid, a.pos - int(offsets[tid]), a.end_pos - int(offsets[tid])
+
+    # ---- duplicate marking over pairs ----------------------------------
+    if paired:
+        t1 = np.array([r.tid for r in rows1])
+        t2 = np.array([r.tid for r in rows2])
+        ok1 = np.array([r.aln.aligned for r in rows1])
+        ok2 = np.array([r.aln.aligned for r in rows2])
+        p5_1 = np.array(
+            [
+                unclipped_5p(r.aln.pos, r.aln.end_pos, r.aln.strand, r.aln.cigar)
+                if r.aln.aligned else -1
+                for r in rows1
+            ]
+        )
+        p5_2 = np.array(
+            [
+                unclipped_5p(r.aln.pos, r.aln.end_pos, r.aln.strand, r.aln.cigar)
+                if r.aln.aligned else -1
+                for r in rows2
+            ]
+        )
+        s1 = np.array([r.aln.strand for r in rows1])
+        s2 = np.array([r.aln.strand for r in rows2])
+        dup = mark_duplicates(t1, p5_1, s1, ok1, t2, p5_2, s2, ok2)
+        dup &= ok1 | ok2
+    else:
+        ok1 = np.array([r.aln.aligned for r in rows1])
+        p5_1 = np.array(
+            [
+                unclipped_5p(r.aln.pos, r.aln.end_pos, r.aln.strand, r.aln.cigar)
+                if r.aln.aligned else -1
+                for r in rows1
+            ]
+        )
+        t1 = np.array([r.tid for r in rows1])
+        s1 = np.array([r.aln.strand for r in rows1])
+        none = np.full(n, -1)
+        dup = mark_duplicates(
+            t1, p5_1, s1, ok1, none, none, none, np.zeros(n, dtype=bool)
+        )
+        dup &= ok1
+
+    for i in range(n):
+        r1 = rows1[i]
+        r2 = rows2[i] if paired else None
+        recs = _pair_records(r1, r2, idx, distro, bool(dup[i]), cfg)
+        for rec, is_split, is_disc in recs:
+            main.append(rec)
+            dup_ok = not (rec.flag & FDUP) or cfg.include_dups_in_side
+            if is_split and dup_ok:
+                splitters.append(strip_seq(rec))
+            if is_disc and dup_ok:
+                discordants.append(strip_seq(rec))
+    return main, splitters, discordants
+
+
+def _pair_records(
+    r1: _PairRow, r2: Optional[_PairRow], idx: BWAIndex,
+    distro: InsertDistro, is_dup: bool, cfg: AlignConfig,
+):
+    """Emit (record, in_splitters, in_discordants) for one template."""
+    offsets = np.asarray(idx.offsets + [idx.l_pac], dtype=np.int64)
+
+    def cpos(a: HostAlignment):
+        tid = int(np.searchsorted(offsets, a.pos, side="right") - 1)
+        return tid, a.pos - int(offsets[tid])
+
+    out = []
+    ends = [(r1, r2, FREAD1), (r2, r1, FREAD2)] if r2 is not None else [(r1, None, 0)]
+    # precompute chrom coords
+    infos = {}
+    for r, _, _ in ends:
+        if r is not None and r.aln.aligned:
+            tid, p = cpos(r.aln)
+            infos[id(r)] = (tid, p, r.aln.end_pos - r.aln.pos + p)
+    # proper-pair determination
+    proper = False
+    if r2 is not None and r1.aln.aligned and r2.aln.aligned:
+        proper = is_proper(
+            r1.aln.pos, r1.aln.end_pos, r1.aln.strand,
+            r2.aln.pos, r2.aln.end_pos, r2.aln.strand,
+            distro, same_tid=(r1.tid == r2.tid),
+        )
+    both_mapped = (
+        r2 is not None and r1.aln.aligned and r2.aln.aligned
+    )
+    discordant = both_mapped and not proper
+
+    for r, mate, read_flag in ends:
+        if r is None:
+            continue
+        a = r.aln
+        flag = read_flag
+        if r2 is not None:
+            flag |= FPAIRED
+        if proper:
+            flag |= FPROPER_PAIR
+        if not a.aligned:
+            flag |= FUNMAP
+        if a.aligned and a.strand:
+            flag |= FREVERSE
+        if mate is not None:
+            if not mate.aln.aligned:
+                flag |= FMUNMAP
+            elif mate.aln.strand:
+                flag |= FMREVERSE
+        if is_dup:
+            flag |= FDUP
+
+        if a.aligned:
+            tid, pos, _end = infos[id(r)]
+        elif mate is not None and mate.aln.aligned:
+            tid, pos, _end = infos[id(mate)]
+        else:
+            tid, pos = -1, -1
+        if mate is not None and mate.aln.aligned:
+            mtid, mpos, _mend = infos[id(mate)]
+        elif a.aligned and mate is not None:
+            mtid, mpos = tid, pos  # mate unmapped: placed with this read
+        else:
+            mtid, mpos = (tid, pos) if not a.aligned else (-1, -1)
+        if r2 is None:
+            mtid, mpos = -1, -1
+
+        tlen = 0
+        if both_mapped and r.tid == mate.tid:
+            left = min(a.pos, mate.aln.pos)
+            right = max(a.end_pos, mate.aln.end_pos)
+            if a.pos < mate.aln.pos or (a.pos == mate.aln.pos and read_flag == FREAD1):
+                tlen = right - left
+            else:
+                tlen = -(right - left)
+
+        seq = r.seq if not (a.aligned and a.strand) else _revcomp_str(r.seq)
+        qual = r.qual if not (a.aligned and a.strand) else r.qual[::-1]
+        tags = []
+        if a.aligned:
+            tags += [("NM", "i", a.nm), ("MD", "Z", a.md), ("AS", "i", a.score),
+                     ("XS", "i", a.sub_score)]
+        tags.append(("RG", "Z", cfg.rg_id))
+        if mate is not None and mate.aln.aligned:
+            # samblaster --addMateTags contract (bin/speedseq:439)
+            tags.append(("MC", "Z", cigar_to_str(mate.aln.cigar)))
+            tags.append(("MQ", "i", mate.aln.mapq))
+        has_split = a.aligned and r.supp is not None
+        if has_split:
+            stid, spos = cpos(r.supp)
+            tags.append(
+                (
+                    "SA",
+                    "Z",
+                    make_sa_tag(
+                        idx.names[stid], spos, r.supp.strand, r.supp.cigar,
+                        r.supp.mapq, r.supp.nm,
+                    ),
+                )
+            )
+
+        rec = SAMRecord(
+            qname=r.name, flag=flag, tid=tid, pos=pos,
+            mapq=a.mapq if a.aligned else 0,
+            cigar=a.cigar if a.aligned else [],
+            mtid=mtid, mpos=mpos, tlen=tlen, seq=seq, qual=qual, tags=tags,
+        )
+        # splitter qualification: samblaster minNonOverlap=20, 2 pieces
+        split_ok = False
+        if has_split:
+            from .core import _orig_frame
+
+            qlen = len(r.seq)
+            pq = _cigar_qspan(a.cigar)
+            sq = _cigar_qspan(r.supp.cigar)
+            pb, pe = _orig_frame(pq[0], pq[1], a.strand, qlen)
+            sb, se = _orig_frame(sq[0], sq[1], r.supp.strand, qlen)
+            split_ok = split_qualifies(pb, pe, sb, se)
+        out.append((rec, split_ok, discordant))
+
+        if has_split and split_ok:
+            stid, spos = cpos(r.supp)
+            sflag = flag | FSUPPLEMENTARY
+            if r.supp.strand:
+                sflag |= FREVERSE
+            else:
+                sflag &= ~FREVERSE
+            sseq = r.seq if not r.supp.strand else _revcomp_str(r.seq)
+            squal = r.qual if not r.supp.strand else r.qual[::-1]
+            stags = [
+                ("NM", "i", r.supp.nm), ("MD", "Z", r.supp.md),
+                ("AS", "i", r.supp.score), ("RG", "Z", cfg.rg_id),
+                (
+                    "SA", "Z",
+                    make_sa_tag(
+                        idx.names[tid], pos, a.strand, a.cigar, a.mapq, a.nm
+                    ),
+                ),
+            ]
+            srec = SAMRecord(
+                qname=r.name, flag=sflag, tid=stid, pos=spos,
+                mapq=r.supp.mapq, cigar=r.supp.cigar, mtid=mtid, mpos=mpos,
+                tlen=0, seq=sseq, qual=squal, tags=stags,
+            )
+            out.append((srec, True, False))
+    return out
+
+
+def _cigar_qspan(cigar) -> Tuple[int, int]:
+    """(qbeg, qend) covered by non-clip query ops, strand frame."""
+    lead = cigar[0][1] if cigar and cigar[0][0] in (4, 5) else 0
+    span = sum(l for op, l in cigar if op in (0, 1, 7, 8))
+    return lead, lead + span
+
+
+def sort_key(rec: SAMRecord) -> Tuple[int, int, int]:
+    """samtools coordinate-sort key: tid<<32|(pos+1)<<1|is_rev
+    (src/samtools-1.3.1/bam_sort.c:1612); unmapped (tid<0) last."""
+    tid = rec.tid if rec.tid >= 0 else 1 << 30
+    return (tid, rec.pos + 1, 1 if rec.flag & FREVERSE else 0)
+
+
+def _sort_and_write(records: List[SAMRecord], header: SAMHeader, path: str):
+    order = sorted(range(len(records)), key=lambda i: sort_key(records[i]))
+    with bam.BAMWriter(path, header) as w:
+        for i in order:
+            w.write(records[i])

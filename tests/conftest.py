@@ -3,12 +3,20 @@ sharding tests run without TPU hardware (see driver dryrun contract)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment pre-registers an "axon" TPU backend via
+# sitecustomize and exports JAX_PLATFORMS=axon, so a plain setdefault is
+# not enough — force the CPU backend through jax.config (effective even
+# after jax import, as long as no backend has initialized yet).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 

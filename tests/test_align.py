@@ -1,0 +1,217 @@
+"""Aligner tests: SW kernel vs brute force, end-to-end accuracy on
+simulated reads, and the SAMBLASTER-epilogue contracts (dups, splitters,
+discordants)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from speedseq_tpu.formats.bam import read_bam
+from speedseq_tpu.formats.fasta import FastaFile
+from speedseq_tpu.formats.sam import (
+    FDUP, FPROPER_PAIR, FREAD1, FREVERSE, FSECONDARY, FSUPPLEMENTARY, FUNMAP,
+)
+from speedseq_tpu.align.sw import banded_sw, SWParams
+from speedseq_tpu.align.core import revcomp_reads
+from speedseq_tpu.align.pipeline import align_fastq, AlignConfig
+from speedseq_tpu.utils import sim
+
+REF = "/root/reference/example/data/human_g1k_v37_20_42220611-42542245.fasta"
+CFG = AlignConfig(batch_size=128)
+
+
+def brute_sw(q, r, p=SWParams()):
+    Lq, Lr = len(q), len(r)
+    NEG = -(10 ** 6)
+    H = np.zeros((Lq + 1, Lr + 1), int)
+    V = np.full((Lq + 1, Lr + 1), NEG)
+    F = np.full((Lq + 1, Lr + 1), NEG)
+    best = 0
+    for i in range(1, Lq + 1):
+        for j in range(1, Lr + 1):
+            s = (
+                (p.match if q[i - 1] == r[j - 1] else -p.mismatch)
+                if q[i - 1] < 4 and r[j - 1] < 4
+                else -1
+            )
+            V[i][j] = max(V[i - 1][j] - p.gap_ext, H[i - 1][j] - p.gap_open - p.gap_ext)
+            F[i][j] = max(F[i][j - 1] - p.gap_ext, H[i][j - 1] - p.gap_open - p.gap_ext)
+            H[i][j] = max(0, H[i - 1][j - 1] + s, V[i][j], F[i][j])
+            best = max(best, H[i][j])
+    return best
+
+
+def test_sw_matches_bruteforce_and_path_consistent():
+    rng = np.random.default_rng(0)
+    N, Lq, Lr = 32, 30, 64
+    qs, rs = [], []
+    for n in range(N):
+        ref = rng.integers(0, 4, Lr)
+        q = ref[10 : 10 + Lq].copy()
+        if n % 4 == 1:
+            q[15] = (q[15] + 1) % 4
+        if n % 4 == 2:
+            q = np.concatenate([q[:10], q[13 : 10 + Lq], rng.integers(0, 4, 3)])[:Lq]
+        if n % 4 == 3:
+            q = np.concatenate([q[:10], rng.integers(0, 4, 2), q[10:]])[:Lq]
+        qs.append(q[:Lq])
+        rs.append(ref)
+    qs = np.stack(qs).astype(np.int32)
+    rs = np.stack(rs).astype(np.int32)
+    res = banded_sw(jnp.asarray(qs), jnp.full(N, Lq, jnp.int32), jnp.asarray(rs))
+    p = SWParams()
+    for n in range(N):
+        expect = brute_sw(qs[n], rs[n])
+        got = int(res.score[n])
+        assert got == expect, f"lane {n}: {got} != {expect}"
+        ops = np.asarray(res.cigar_ops[n])
+        lens = np.asarray(res.cigar_len[n])
+        k = int(res.n_ops[n])
+        qb, rb = int(res.qbeg[n]), int(res.rbeg[n])
+        sc, qi, ri = 0, qb, rb
+        for o, l in zip(ops[:k], lens[:k]):
+            l = int(l)
+            if o == 0:
+                sc += sum(
+                    p.match if qs[n][qi + t] == rs[n][ri + t] else -p.mismatch
+                    for t in range(l)
+                )
+                qi += l
+                ri += l
+            elif o == 1:
+                sc -= p.gap_open + p.gap_ext * l
+                qi += l
+            elif o == 2:
+                sc -= p.gap_open + p.gap_ext * l
+                ri += l
+        assert sc == got and qi == int(res.qend[n]) and ri == int(res.rend[n])
+
+
+def test_revcomp_reads():
+    reads = jnp.asarray([[0, 1, 2, 3, 4, 4], [2, 2, 0, 4, 4, 4]], dtype=jnp.int32)
+    lens = jnp.asarray([4, 3], dtype=jnp.int32)
+    rc = np.asarray(revcomp_reads(reads, lens))
+    assert list(rc[0, :4]) == [0, 1, 2, 3]  # ACGT revcomp = ACGT
+    assert list(rc[1, :3]) == [3, 1, 1]     # GGA → TCC
+    assert (rc[0, 4:] == 4).all()
+
+
+@pytest.fixture(scope="module")
+def genome():
+    return FastaFile(REF).fetch_encoded("20_slice")
+
+
+@pytest.fixture(scope="module")
+def aligned_example(genome, tmp_path_factory):
+    d = tmp_path_factory.mktemp("aln")
+    names, s1, q1, s2, q2, truth = sim.simulate_pairs(
+        genome, 120, read_len=100, seed=3
+    )
+    sim.to_fastq(str(d / "r1.fq"), str(d / "r2.fq"), names, s1, q1, s2, q2)
+    outs = align_fastq(
+        REF, str(d / "r1.fq"), str(d / "r2.fq"),
+        out_prefix=str(d / "ex"), config=CFG,
+    )
+    return d, outs, truth
+
+
+def test_alignment_accuracy(aligned_example):
+    d, outs, truth = aligned_example
+    hdr, recs = read_bam(outs["bam"])
+    prim = [r for r in recs if not (r.flag & (FSUPPLEMENTARY | FSECONDARY))]
+    assert len(prim) == 240
+    tp = {}
+    for i, nm in enumerate(truth.names):
+        tp[(nm, 1)] = (truth.pos1[i], truth.strand1[i])
+        tp[(nm, 2)] = (truth.pos2[i], truth.strand2[i])
+    good = 0
+    for r in prim:
+        which = 1 if r.flag & FREAD1 else 2
+        want_pos, want_strand = tp[(r.qname, which)]
+        if r.flag & FUNMAP:
+            continue
+        strand = 1 if r.flag & FREVERSE else 0
+        if abs(r.pos - want_pos) <= 5 and strand == want_strand:
+            good += 1
+    assert good / len(prim) >= 0.98
+    # coordinate-sorted output
+    keyed = [(r.tid, r.pos) for r in prim if r.tid >= 0]
+    assert keyed == sorted(keyed)
+    # proper pairs dominate
+    assert sum(1 for r in prim if r.flag & FPROPER_PAIR) >= 0.9 * len(prim)
+    # mate tags present (samblaster --addMateTags)
+    with_mate = [r for r in prim if not (r.flag & FUNMAP)]
+    assert all(r.get_tag("MC") is not None for r in with_mate[:20])
+    # NM/MD/AS present
+    assert all(r.get_tag("NM") is not None for r in with_mate[:20])
+
+
+def test_bai_written(aligned_example):
+    import os
+
+    d, outs, _ = aligned_example
+    for k in ("bam", "splitters.bam", "discordants.bam"):
+        assert os.path.exists(outs[k] + ".bai")
+
+
+def test_duplicates_marked(genome, tmp_path):
+    # two identical fragments → second pair marked FDUP
+    names, s1, q1, s2, q2, truth = sim.simulate_pairs(
+        genome, 40, read_len=100, seed=5, error_rate=0.0
+    )
+    # duplicate pair 0 into slot 1 (same coordinates, same seqs)
+    s1[1], s2[1], q1[1], q2[1] = s1[0], s2[0], q1[0], q2[0]
+    sim.to_fastq(str(tmp_path / "d1.fq"), str(tmp_path / "d2.fq"), names, s1, q1, s2, q2)
+    outs = align_fastq(
+        REF, str(tmp_path / "d1.fq"), str(tmp_path / "d2.fq"),
+        out_prefix=str(tmp_path / "dup"), config=CFG,
+    )
+    hdr, recs = read_bam(outs["bam"])
+    by_name = {}
+    for r in recs:
+        if not (r.flag & FSUPPLEMENTARY):
+            by_name.setdefault(r.qname, []).append(r)
+    d0 = [bool(r.flag & FDUP) for r in by_name[truth.names[0]]]
+    d1 = [bool(r.flag & FDUP) for r in by_name[truth.names[1]]]
+    # exactly one of the two pairs carries the dup flag (first-seen wins)
+    assert (all(d0) and not any(d1)) or (all(d1) and not any(d0))
+
+
+def test_sv_reads_produce_splitters_and_discordants(genome, tmp_path):
+    # 3 kb deletion haplotype: junction-spanning reads → splitters; pairs
+    # straddling it → discordants (insert inflated by 3 kb)
+    DEL_POS, DEL_LEN = 150_000, 3_000
+    mutant = np.concatenate([genome[:DEL_POS], genome[DEL_POS + DEL_LEN :]])
+    names, s1, q1, s2, q2, truth = sim.simulate_pairs(
+        mutant[DEL_POS - 2_000 : DEL_POS + 2_000], 150, read_len=100,
+        seed=7, error_rate=0.0, name_prefix="sv",
+    )
+    # also background pairs so the insert distro is well estimated
+    bn, b1, bq1, b2, bq2, _ = sim.simulate_pairs(
+        genome, 150, read_len=100, seed=8, name_prefix="bg"
+    )
+    allnames = list(bn) + list(names)
+    sim.to_fastq(
+        str(tmp_path / "s1.fq"), str(tmp_path / "s2.fq"), allnames,
+        np.concatenate([b1, s1]), np.concatenate([bq1, q1]),
+        np.concatenate([b2, s2]), np.concatenate([bq2, q2]),
+    )
+    outs = align_fastq(
+        REF, str(tmp_path / "s1.fq"), str(tmp_path / "s2.fq"),
+        out_prefix=str(tmp_path / "sv"), config=CFG,
+    )
+    hdr, spl = read_bam(outs["splitters.bam"])
+    hdr2, disc = read_bam(outs["discordants.bam"])
+    assert len(spl) > 0, "deletion-spanning reads must emit splitters"
+    assert len(disc) > 0, "deletion-straddling pairs must be discordant"
+    # side channels are SEQ/QUAL-stripped (bin/speedseq:443-447 contract)
+    assert all(r.seq == "*" and r.qual == "*" for r in spl)
+    assert all(r.seq == "*" and r.qual == "*" for r in disc)
+    # splitters carry SA tags pointing across the junction
+    sa_tags = [r.get_tag("SA") for r in spl if r.get_tag("SA")]
+    assert sa_tags
+    # supplementary pieces ≤ 2 per read (maxSplitCount contract)
+    from collections import Counter
+
+    counts = Counter(r.qname for r in spl)
+    assert max(counts.values()) <= 2
