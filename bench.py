@@ -1,0 +1,73 @@
+"""Benchmark: aligned reads/s per chip (BWA-MEM-equivalent work).
+
+Runs the device alignment step (FMD SMEM seeding → chaining → batched
+affine SW + traceback) on the example chr20 reference with simulated
+100 bp reads, on whatever accelerator JAX exposes (the real TPU chip under
+the driver).  Prints ONE JSON line.
+
+vs_baseline: ratio against one CPU core running BWA-MEM on comparable
+input, per the published BWA-MEM throughput of ~5,000 100bp-reads/s/core
+[external knowledge; the reference repo publishes no numbers —
+BASELINE.md].  BASELINE.json's target is ≥5× one core, i.e. vs_baseline
+≥ 5.0.
+"""
+
+import json
+import time
+
+import numpy as np
+
+CPU_CORE_READS_PER_S = 5000.0  # bwa mem, 100bp reads, 1 core [ext]
+
+
+def main():
+    import jax
+
+    from speedseq_tpu.formats.fasta import FastaFile
+    from speedseq_tpu.index.bwt import build_index, load_index
+    from speedseq_tpu.index.fm import FMIndex
+    from speedseq_tpu.align.core import align_candidates
+    from speedseq_tpu.utils.sim import simulate_pairs
+    import os
+
+    ref = "/root/reference/example/data/human_g1k_v37_20_42220611-42542245.fasta"
+    # build our index in a writable temp dir (reference dir is read-only)
+    idx = load_index(ref)
+    fm = FMIndex.from_bwa(idx)
+    fm = jax.device_put(fm)
+
+    genome = FastaFile(ref).fetch_encoded("20_slice")
+    B, L = 2048, 100
+    _, s1, _, s2, _, _ = simulate_pairs(genome, B // 2, read_len=L, seed=0)
+    reads = np.concatenate([s1, s2]).astype(np.int32)
+    lengths = np.full(B, L, dtype=np.int32)
+
+    step = jax.jit(lambda f, r, l: align_candidates(f, r, l, n_chains=4))
+    r_d = jax.device_put(reads)
+    l_d = jax.device_put(lengths)
+    # warmup/compile
+    out = step(fm, r_d, l_d)
+    jax.block_until_ready(out)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(fm, r_d, l_d)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    reads_per_s = B * iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "aligned_reads_per_s_per_chip",
+                "value": round(reads_per_s, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(reads_per_s / CPU_CORE_READS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -71,7 +71,9 @@ def find_seeds(
     reads = reads.astype(jnp.int32)
     starts = _grid(L, stride)  # (G,)
     G = starts.shape[0]
-    p = jnp.broadcast_to(starts[None, :], (B, G))
+    # derive p from a read-dependent zero so its sharding "varying" status
+    # matches loop-carried outputs under shard_map (scan-vma rule)
+    p = starts[None, :] + jnp.zeros_like(lengths)[:, None]
     rlen = lengths[:, None]
 
     def read_base(offsets):

@@ -81,8 +81,10 @@ def banded_sw(
     ecol = jnp.arange(Lr, dtype=jnp.int32)[None, :]
 
     # ---- forward DP over query rows ------------------------------------
-    H0 = jnp.zeros((N, Lr + 1), jnp.int32)
-    V0 = jnp.full((N, Lr + 1), NEG)
+    # (carries derived from qlen keep shard_map varying status consistent)
+    zc = (qlen * 0)[:, None]
+    H0 = jnp.zeros((N, Lr + 1), jnp.int32) + zc
+    V0 = jnp.full((N, Lr + 1), NEG) + zc
 
     def row(carry, xs):
         Hp, Vp = carry  # previous row H / V, with leading 0-column
@@ -139,8 +141,10 @@ def banded_sw(
     ddists = jnp.transpose(ddist_rows, (1, 0, 2))
 
     # ---- traceback (affine state machine; mode 0 = H, 1 = in I-run) ----
-    ops0 = jnp.full((N, max_ops), jnp.int8(-1))
-    lens0 = jnp.zeros((N, max_ops), jnp.int32)
+    # carries derived from bi/bj keep shard_map "varying" status consistent
+    zvec = bi * 0
+    ops0 = jnp.full((N, max_ops), jnp.int8(-1)) + zvec[:, None].astype(jnp.int8)
+    lens0 = jnp.zeros((N, max_ops), jnp.int32) + zvec[:, None]
     lanes = jnp.arange(N)
 
     def tb_body(_, state):
@@ -185,10 +189,7 @@ def banded_sw(
         mode2 = jnp.where(now_done, mode, mode2)
         return i2, j2, mode2, kop, ops, lens, now_done
 
-    state = (
-        bi, bj, jnp.zeros(N, jnp.int32), jnp.zeros(N, jnp.int32),
-        ops0, lens0, jnp.zeros(N, dtype=bool),
-    )
+    state = (bi, bj, zvec, zvec, ops0, lens0, zvec > 0)
     i_f, j_f, _, n_ops, ops, lens, _ = jax.lax.fori_loop(
         0, Lq + Lr, tb_body, state
     )

@@ -277,8 +277,10 @@ def sa_lookup(fm: FMIndex, r: jnp.ndarray) -> jnp.ndarray:
         steps2 = jnp.where(done2, steps, steps + 1)
         return rr2, steps2, done2
 
-    steps0 = jnp.zeros_like(r)
-    done0 = jnp.zeros(r.shape, dtype=bool)
+    # derive loop carries from r so their sharding "varying" status matches
+    # the loop outputs under shard_map (scan-vma rule)
+    steps0 = r * 0
+    done0 = steps0 > 0
     r_f, steps, _ = jax.lax.fori_loop(0, SA_POS_INTV, body, (r, steps0, done0))
     return fm.sa_vals[mark_rank(r_f)] + steps
 
