@@ -1,0 +1,199 @@
+"""speedseq var equivalent: BAMs → filtered, sorted, bgzipped VCF + tabix.
+
+Reference contract (bin/speedseq:506-833):
+- windows from ``-w`` BED else one per chromosome from the BAM header @SQ
+  (:677-687), scheduled most-expensive-first (README.md:153-155)
+- per-window freebayes with ``--min-repeat-entropy 1`` (:704-710)
+- per-window filter ``QUAL >= MINQUAL && RPR > 0 && RPL > 0`` with
+  MINQUAL default 1 (vawk at :709; default :544)
+- windows merged by coordinate sort, header from first window, bgzip,
+  tabix (:722-806, :815)
+Multi-sample: one VCF column per distinct SM read group across the input
+BAMs (README.md:250-253).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..formats import bai as bai_mod
+from ..formats import tabix as tabix_mod
+from ..formats.bam import BAMReader
+from ..formats.bed import BedInterval, longest_first, read_bed, windows_from_refs
+from ..formats.fasta import FastaFile
+from ..formats.vcf import VCFHeader, VCFWriter
+from .caller import CallerConfig, call_window, site_to_vcf
+from .pileup import build_pileup
+
+
+@dataclass
+class VarConfig:
+    min_qual: float = 1.0           # speedseq var -q default (MINQUAL=1)
+    window_size: int = 100_000      # internal chunking of chromosome windows
+    caller: CallerConfig = field(default_factory=CallerConfig)
+    apply_balance_filter: bool = True  # the RPR>0 && RPL>0 vawk filter
+    verbose: bool = False
+
+
+def _sample_map(readers: List[BAMReader], paths: List[str]):
+    """sample name per (bam_idx, RG id); VCF columns in first-seen order
+    (freebayes SM semantics, README.md:250-253)."""
+    samples: List[str] = []
+    rg_to_sample: Dict[Tuple[int, str], int] = {}
+    default_sample: Dict[int, int] = {}
+    for bi, rd in enumerate(readers):
+        found = False
+        for line in rd.header.text.splitlines():
+            if line.startswith("@RG"):
+                fields = dict(
+                    f.split(":", 1) for f in line.split("\t")[1:] if ":" in f
+                )
+                sm = fields.get("SM", os.path.basename(paths[bi]))
+                if sm not in samples:
+                    samples.append(sm)
+                rg_to_sample[(bi, fields.get("ID", ""))] = samples.index(sm)
+                found = True
+        if not found:
+            sm = os.path.basename(paths[bi])
+            if sm not in samples:
+                samples.append(sm)
+            default_sample[bi] = samples.index(sm)
+    return samples, rg_to_sample, default_sample
+
+
+def _fetch_window(
+    rd: BAMReader, idx, tid: int, start: int, end: int
+) -> List:
+    """Region fetch via the BAI (hts_itr_query equivalent)."""
+    out = []
+    chunks = bai_mod.query_chunks(idx, tid, start, end)
+    for cb, ce in chunks:
+        rd.seek_virtual(cb)
+        while rd._r.tell_virtual < ce:
+            rec = rd.read_record()
+            if rec is None:
+                break
+            if rec.tid != tid or rec.pos >= end:
+                break
+            if rec.end_pos() > start:
+                out.append(rec)
+    return out
+
+
+def build_var_header(
+    contigs: List[Tuple[str, int]], samples: List[str], somatic: bool = False
+) -> VCFHeader:
+    h = VCFHeader.build(contigs, samples, source="speedseq_tpu-var")
+    h.add_info("DP", "1", "Integer", "Total read depth at the locus")
+    h.add_info("RO", "1", "Integer", "Reference allele observation count")
+    h.add_info("AO", "A", "Integer", "Alternate allele observation count")
+    h.add_info("AB", "A", "Float", "Allele balance at heterozygous sites")
+    h.add_info("RPL", "A", "Integer",
+               "Reads Placed Left: reads supporting the alternate balanced to the left")
+    h.add_info("RPR", "A", "Integer",
+               "Reads Placed Right: reads supporting the alternate balanced to the right")
+    h.add_info("SAF", "A", "Integer", "Alternate allele observations on the forward strand")
+    h.add_info("SAR", "A", "Integer", "Alternate allele observations on the reverse strand")
+    h.add_info("TYPE", "A", "String", "The type of allele: snp, ins or del")
+    h.add_info("LEN", "A", "Integer", "Allele length")
+    h.add_info("NUMALT", "1", "Integer", "Number of alternate alleles")
+    if somatic:
+        h.add_info("SSC", "1", "Float", "Somatic score")  # bin/speedseq:1087
+    h.add_format("GT", "1", "String", "Genotype")
+    h.add_format("GQ", "1", "Integer", "Genotype quality")
+    h.add_format("DP", "1", "Integer", "Read depth")
+    h.add_format("RO", "1", "Integer", "Reference allele observation count")
+    h.add_format("QR", "1", "Integer", "Sum of quality of reference observations")
+    h.add_format("AO", "A", "Integer", "Alternate allele observation count")
+    h.add_format("QA", "A", "Integer", "Sum of quality of alternate observations")
+    h.add_format("GL", "G", "Float", "Genotype log10 likelihoods")
+    return h
+
+
+def run_var(
+    reference: str,
+    bam_paths: List[str],
+    output: str,                      # *.vcf.gz
+    windows_bed: Optional[str] = None,
+    config: VarConfig = VarConfig(),
+    record_filter=None,
+) -> str:
+    """Run variant calling; returns the output path.
+
+    ``record_filter(rec) -> Optional[VCFRecord]`` post-processes records
+    (somatic mode injects the SSC filter here).
+    """
+    cfg = config
+    fa = FastaFile(reference)
+    readers = [BAMReader(p) for p in bam_paths]
+    indexes = []
+    for p in bam_paths:
+        if not os.path.exists(p + ".bai"):
+            bai_mod.build_bai(p)
+        indexes.append(bai_mod.read_bai(p + ".bai"))
+    samples, rg_map, default_map = _sample_map(readers, bam_paths)
+    refs = readers[0].header.refs
+
+    # windows: BED or per-chromosome (bin/speedseq:677-687), internally
+    # chunked, scheduled longest-first (README.md:153-155)
+    if windows_bed:
+        windows = read_bed(windows_bed)
+    else:
+        windows = windows_from_refs(refs, window=cfg.window_size)
+    windows = longest_first(windows)
+
+    ref_names = [n for n, _ in refs]
+    genome_cache: Dict[str, np.ndarray] = {}
+    records = []
+    for w in windows:
+        if w.chrom not in ref_names:
+            continue
+        tid = ref_names.index(w.chrom)
+        if w.chrom not in genome_cache:
+            genome_cache[w.chrom] = fa.fetch_encoded(w.chrom)
+        genome = genome_cache[w.chrom]
+        recs = []
+        for bi, rd in enumerate(readers):
+            for rec in _fetch_window(rd, indexes[bi], tid, w.start, w.end):
+                rg = rec.get_tag("RG") or ""
+                si = rg_map.get((bi, rg), default_map.get(bi, 0))
+                recs.append((rec, si))
+        if not recs:
+            continue
+        pile = build_pileup(
+            recs, w.start, w.end,
+            min_mapq=cfg.caller.min_mapq, min_baseq=cfg.caller.min_baseq,
+        )
+        calls = call_window(genome, pile, len(samples), cfg.caller)
+        for c in calls:
+            rec = site_to_vcf(c, w.chrom, w.start, len(samples))
+            # driver filter: QUAL >= MINQUAL && RPR>0 && RPL>0
+            # (bin/speedseq:709)
+            if rec.qual is not None and rec.qual < cfg.min_qual:
+                continue
+            if cfg.apply_balance_filter and (c.rpl <= 0 or c.rpr <= 0):
+                continue
+            if record_filter is not None:
+                rec = record_filter(rec)
+                if rec is None:
+                    continue
+            records.append(rec)
+        if cfg.verbose:
+            print(f"[var] {w.chrom}:{w.start}-{w.end}: {len(calls)} sites")
+
+    # deterministic merge: coordinate sort (bin/speedseq:800-806)
+    order = {n: i for i, n in enumerate(ref_names)}
+    records.sort(key=lambda r: (order.get(r.chrom, 1 << 30), r.pos))
+    header = build_var_header(refs, samples)
+    with VCFWriter(output, header) as w_:
+        for r in records:
+            w_.write(r)
+    if output.endswith(".gz"):
+        tabix_mod.build_tbi(output)  # bin/speedseq:815
+    for rd in readers:
+        rd.close()
+    return output

@@ -1,0 +1,172 @@
+"""Variant-calling tests: GL kernel math, normalization, end-to-end
+recall/precision on simulated diploid data, somatic SSC filter."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from speedseq_tpu.formats.fasta import FastaFile, decode_bases
+from speedseq_tpu.formats.vcf import read_vcf
+from speedseq_tpu.utils import sim
+from speedseq_tpu.align.pipeline import align_fastq, AlignConfig
+from speedseq_tpu.var import run_var
+from speedseq_tpu.var.engine import VarConfig
+from speedseq_tpu.var.normalize import left_align
+from speedseq_tpu.var.somatic import SomaticConfig, run_somatic, ssc_score
+from speedseq_tpu.var.caller import _gl_terms
+
+import jax.numpy as jnp
+
+REF = "/root/reference/example/data/human_g1k_v37_20_42220611-42542245.fasta"
+
+
+def test_gl_terms_math():
+    # one site, 4 reads: 2 ref @q30, 2 alt @q30
+    support = jnp.asarray([[1, 1, 2, 2]], dtype=jnp.int8)
+    quals = jnp.full((1, 4), 30.0, jnp.float32)
+    t = np.asarray(_gl_terms(support, quals))[0]  # (4, 3)
+    e = 1e-3
+    # ref read under RR: log10(1-e); under AA: log10(e/3)
+    assert np.isclose(t[0, 0], np.log10(1 - e), atol=1e-4)
+    assert np.isclose(t[0, 2], np.log10(e / 3), atol=1e-4)
+    # het likelihood: mixture
+    assert np.isclose(t[0, 1], np.log10(0.5 * (1 - e) + 0.5 * e / 3), atol=1e-4)
+    # summed GL favors het for 2+2 split
+    gl = t.sum(axis=0)
+    assert gl[1] > gl[0] and gl[1] > gl[2]
+
+
+def test_left_align():
+    # genome ...C A A A A G... insertion of A anywhere in the run →
+    # canonical anchor at the C
+    g = np.array([1, 0, 0, 0, 0, 2], dtype=np.uint8)  # C A A A A G
+    for pos, ref, alt in [(4, "A", "AA"), (2, "A", "AA"), (0, "C", "CA")]:
+        p, r, a = left_align(g, pos, ref, alt)
+        assert (p, r, a) == (0, "C", "CA"), (pos, ref, alt, p, r, a)
+    # deletion of one A
+    for pos, ref, alt in [(3, "AA", "A"), (1, "AA", "A"), (0, "CA", "C")]:
+        p, r, a = left_align(g, pos, ref, alt)
+        assert (p, r, a) == (0, "CA", "C")
+    # SNV untouched
+    assert left_align(g, 3, "A", "G") == (3, "A", "G")
+    # already-minimal non-repeat indel
+    g2 = np.array([0, 1, 2, 3], dtype=np.uint8)  # A C G T
+    assert left_align(g2, 1, "CG", "C") == (1, "CG", "C")
+
+
+@pytest.fixture(scope="module")
+def var_run(tmp_path_factory):
+    d = tmp_path_factory.mktemp("var")
+    g = FastaFile(REF).fetch_encoded("20_slice")[:15000]
+    sub = str(d / "sub.fa")
+    with open(sub, "w") as fh:
+        s = decode_bases(g).decode()
+        fh.write(">sub\n" + "\n".join(s[i : i + 60] for i in range(0, len(s), 60)) + "\n")
+    rng = np.random.default_rng(21)
+    hap, variants, coord = sim.mutate(g, rng, snv_rate=0.003, indel_rate=0.0005)
+    npairs = int(25 * len(g) / 200)
+    names, s1, q1, s2, q2, _ = sim.simulate_pairs(
+        g, npairs, read_len=100, seed=11, diploid_genome=hap, coord_map=coord
+    )
+    sim.to_fastq(str(d / "v1.fq"), str(d / "v2.fq"), names, s1, q1, s2, q2)
+    align_fastq(
+        sub, str(d / "v1.fq"), str(d / "v2.fq"), out_prefix=str(d / "v"),
+        config=AlignConfig(batch_size=128, sample="NA12878"),
+    )
+    out = run_var(sub, [str(d / "v.bam")], str(d / "v.vcf.gz"))
+    # normalize truth the same way the caller does
+    truth = set()
+    for p, r, a in variants:
+        pn, rn, an = left_align(g, p, r, a)
+        truth.add((pn, rn, an))
+    return d, g, out, truth
+
+
+def test_var_recall_precision(var_run):
+    d, g, out, truth = var_run
+    hdr, recs = read_vcf(out)
+    called = {(r.pos, r.ref, r.alt[0]) for r in recs}
+    tp = len(called & truth)
+    recall = tp / len(truth)
+    precision = tp / max(1, len(called))
+    assert recall >= 0.92, (recall, sorted(truth - called)[:5])
+    assert precision >= 0.92, (precision, sorted(called - truth)[:5])
+
+
+def test_var_output_contract(var_run):
+    d, g, out, truth = var_run
+    assert out.endswith(".vcf.gz") and os.path.exists(out + ".tbi")
+    hdr, recs = read_vcf(out)
+    assert hdr.samples == ["NA12878"]
+    poss = [r.pos for r in recs]
+    assert poss == sorted(poss)
+    r = recs[0]
+    # the speedseq var filter fields + freebayes FORMAT surface
+    for k in ("DP", "RO", "AO", "RPL", "RPR", "SAF", "SAR", "TYPE"):
+        assert k in r.info, k
+    assert int(r.info["RPL"]) > 0 and int(r.info["RPR"]) > 0
+    assert r.format[:4] == ["GT", "GQ", "DP", "RO"]
+    assert "GL" in r.format
+    assert r.qual is None or r.qual >= 1.0
+    # zcat-compatible bgzip
+    with gzip.open(out, "rt") as fh:
+        assert fh.readline().startswith("##fileformat")
+
+
+def test_ssc_math():
+    # exact transcription check of bin/speedseq:166-173
+    ngl = [0.0, -8.0, -40.0]
+    tgl = [-20.0, 0.0, -15.0]
+    # LOD_NORM = 0 - (-8) = 8; LOD_TUMOR = max(0-(-20), -15-(-20)) = 20
+    assert ssc_score(ngl, tgl) == 28.0
+
+
+def test_somatic_end_to_end(tmp_path):
+    g = FastaFile(REF).fetch_encoded("20_slice")[30000:42000]
+    sub = str(tmp_path / "s.fa")
+    with open(sub, "w") as fh:
+        s = decode_bases(g).decode()
+        fh.write(">s\n" + "\n".join(s[i : i + 60] for i in range(0, len(s), 60)) + "\n")
+    rng = np.random.default_rng(5)
+    # tumor-only SNVs
+    tum_hap, tum_vars, tum_coord = sim.mutate(g, rng, snv_rate=0.002, indel_rate=0.0)
+    npairs = int(25 * len(g) / 200)
+    nn, n1, nq1, n2, nq2, _ = sim.simulate_pairs(
+        g, npairs, read_len=100, seed=31, name_prefix="norm"
+    )
+    tn, t1, tq1, t2, tq2, _ = sim.simulate_pairs(
+        g, npairs, read_len=100, seed=32, diploid_genome=tum_hap,
+        coord_map=tum_coord, name_prefix="tum",
+    )
+    sim.to_fastq(str(tmp_path / "n1.fq"), str(tmp_path / "n2.fq"), nn, n1, nq1, n2, nq2)
+    sim.to_fastq(str(tmp_path / "t1.fq"), str(tmp_path / "t2.fq"), tn, t1, tq1, t2, tq2)
+    align_fastq(sub, str(tmp_path / "n1.fq"), str(tmp_path / "n2.fq"),
+                out_prefix=str(tmp_path / "normal"),
+                config=AlignConfig(batch_size=128, sample="NORMAL", rg_id="N"))
+    align_fastq(sub, str(tmp_path / "t1.fq"), str(tmp_path / "t2.fq"),
+                out_prefix=str(tmp_path / "tumor"),
+                config=AlignConfig(batch_size=128, sample="TUMOR", rg_id="T"))
+    out = run_somatic(
+        sub, str(tmp_path / "normal.bam"), str(tmp_path / "tumor.bam"),
+        str(tmp_path / "somatic.vcf.gz"),
+    )
+    hdr, recs = read_vcf(out)
+    assert hdr.samples == ["NORMAL", "TUMOR"]
+    assert len(recs) > 0
+    passed = [r for r in recs if r.filter == "PASS"]
+    # most implanted het SNVs (~50% VAF) should PASS as somatic
+    truth_pos = {p for p, _, _ in tum_vars}
+    tp = sum(1 for r in passed if r.pos in truth_pos)
+    assert tp >= 0.6 * len(truth_pos), (tp, len(truth_pos))
+    # SSC present and first in INFO (awk prepend contract)
+    assert all("SSC" in r.info for r in recs)
+    assert all(next(iter(r.info)) == "SSC" for r in recs)
+    # normal column is hom-ref on PASS records
+    assert all(r.samples[0]["GT"] == "0/0" for r in passed)
+    # PED emitted (bin/speedseq:1186)
+    ped = str(tmp_path / "somatic.ped")
+    assert os.path.exists(ped)
+    content = open(ped).read()
+    assert "TUMOR" in content and "NORMAL" in content
