@@ -1,0 +1,290 @@
+"""speedseq sv equivalent: BAM triples → genotyped, annotated sv.vcf.gz.
+
+Orchestration per the reference (bin/speedseq:1205-1641):
+1. insert stats per sample (pairend_distro semantics)
+2. evidence from discordants + splitters, exclude-BED filtered
+3. LUMPY-style clustering (min weight 4, -P probability curves)
+4. optional per-sample SVTyper genotyping (-g, on by default like the
+   driver's ``-g`` usage in example/run_speedseq.sh)
+5. optional CNVnator-style read-depth CN annotation (-d)
+6. header + coordinate sort + bgzip + tabix (:1622-1629)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..formats import tabix as tabix_mod
+from ..formats.bam import BAMReader
+from ..formats.bed import ExcludeMask, read_bed
+from ..formats.vcf import VCFHeader, VCFRecord, VCFWriter
+from .cluster import SVCall, cluster_breakpoints
+from .cnv import DepthProfile
+from .evidence import BND, DEL, DUP, INV, InsertStats, collect_evidence
+from .svtyper import GenotypeResult, SVGenotyper
+
+
+@dataclass
+class SVSample:
+    name: str
+    full: str
+    splitters: str
+    discordants: str
+
+
+@dataclass
+class SVConfig:
+    min_weight: int = 4            # lumpy -m (bin/speedseq:1242)
+    genotype: bool = True          # -g svtyper pass (:1488-1505)
+    annotate_depth: bool = False   # -d cnvnator pass (:1509-1551)
+    prob_curves: bool = True       # lumpy -P (:1312-1313)
+    exclude_bed: Optional[str] = None
+    reference: Optional[str] = None  # needed for -d
+    verbose: bool = False
+
+
+def build_sv_header(
+    contigs: List[Tuple[str, int]], samples: List[str], cfg: SVConfig
+) -> VCFHeader:
+    h = VCFHeader.build(contigs, samples, source="speedseq_tpu-sv (LUMPY-equivalent)")
+    h.add_info("SVTYPE", "1", "String", "Type of structural variant")
+    h.add_info("SVLEN", ".", "Integer", "Difference in length between REF and ALT alleles")
+    h.add_info("END", "1", "Integer", "End position of the variant described in this record")
+    h.add_info("STRANDS", ".", "String", "Strand orientation of the adjacency in BEDPE format (DEL:+-, DUP:-+, INV:++/--)")
+    h.add_info("IMPRECISE", "0", "Flag", "Imprecise structural variation")
+    h.add_info("CIPOS", "2", "Integer", "Confidence interval around POS for imprecise variants")
+    h.add_info("CIEND", "2", "Integer", "Confidence interval around END for imprecise variants")
+    h.add_info("CIPOS95", "2", "Integer", "Confidence interval (95%) around POS for imprecise variants")
+    h.add_info("CIEND95", "2", "Integer", "Confidence interval (95%) around END for imprecise variants")
+    h.add_info("MATEID", ".", "String", "ID of mate breakends")
+    h.add_info("EVENT", "1", "String", "ID of event associated to breakend")
+    h.add_info("SU", ".", "Integer", "Number of pieces of evidence supporting the variant across all samples")
+    h.add_info("PE", ".", "Integer", "Number of paired-end reads supporting the variant across all samples")
+    h.add_info("SR", ".", "Integer", "Number of split reads supporting the variant across all samples")
+    if cfg.prob_curves:
+        h.add_info("PRPOS", ".", "String", "LUMPY probability curve of the POS breakend")
+        h.add_info("PREND", ".", "String", "LUMPY probability curve of the END breakend")
+    h.add_alt("DEL", "Deletion")
+    h.add_alt("DUP", "Duplication")
+    h.add_alt("INV", "Inversion")
+    h.add_format("GT", "1", "String", "Genotype")
+    h.add_format("SU", "1", "Integer", "Number of pieces of evidence supporting the variant")
+    h.add_format("PE", "1", "Integer", "Number of paired-end reads supporting the variant")
+    h.add_format("SR", "1", "Integer", "Number of split reads supporting the variant")
+    h.add_format("GQ", "1", "Integer", "Genotype quality")
+    h.add_format("SQ", "1", "Float", "Phred-scaled probability that this site is variant (non-reference) in this sample")
+    h.add_format("GL", "G", "Float", "Genotype Likelihood, log10-scaled")
+    h.add_format("DP", "1", "Integer", "Read depth")
+    h.add_format("RO", "1", "Integer", "Reference allele observation count, with partial observations recorded fractionally")
+    h.add_format("AO", "A", "Integer", "Alternate allele observations, with partial observations recorded fractionally")
+    h.add_format("RS", "1", "Integer", "Reference allele split-read observation count, with partial observations recorded fractionally")
+    h.add_format("AS", "A", "Integer", "Alternate allele split-read observation count, with partial observations recorded fractionally")
+    h.add_format("RP", "1", "Integer", "Reference allele paired-end observation count, with partial observations recorded fractionally")
+    h.add_format("AP", "A", "Integer", "Alternate allele paired-end observation count, with partial observations recorded fractionally")
+    h.add_format("AB", "A", "Float", "Allele balance, fraction of observations from alternate allele")
+    if cfg.annotate_depth:
+        h.add_format("CN", "1", "Float", "Copy number of structural variant segment")  # annotate_rd.py
+    return h
+
+
+def _strands_str(call: SVCall) -> str:
+    s = {0: "+", 1: "-"}
+    return f"{s[call.strand1]}{s[call.strand2]}:{call.su}"
+
+
+def _prob_str(p: np.ndarray) -> str:
+    return ",".join(f"{x:.3g}" for x in p)
+
+
+def _sample_format(gr: Optional[GenotypeResult], call: SVCall, si: int,
+                   cn: Optional[float]) -> Dict[str, object]:
+    su = call.sample_support.get(si, 0)
+    pe = min(call.pe, su)
+    sr = su - pe if su > pe else 0
+    d: Dict[str, object] = {"SU": su, "PE": pe, "SR": sr}
+    if gr is not None:
+        d.update(
+            GT=gr.gt, GQ=gr.gq, SQ=gr.sq,
+            GL=[int(round(x)) for x in gr.gl],
+            DP=gr.dp, RO=gr.ro, AO=gr.ao,
+            RS=gr.rs, AS=gr.as_, RP=gr.rp, AP=gr.ap, AB=gr.ab,
+        )
+    else:
+        d.update(GT="./.")
+    if cn is not None:
+        d["CN"] = cn
+    return d
+
+
+def run_sv(
+    samples: List[SVSample],
+    output: str,
+    config: SVConfig = SVConfig(),
+) -> str:
+    cfg = config
+    stats = [InsertStats.from_bam(s.full) for s in samples]
+    if cfg.verbose:
+        for s, st in zip(samples, stats):
+            print(f"[sv] {s.name}: insert mean={st.mean:.1f} std={st.std:.1f}")
+    exclude = None
+    if cfg.exclude_bed:
+        exclude = ExcludeMask(read_bed(cfg.exclude_bed))
+
+    with BAMReader(samples[0].full) as rd:
+        refs = rd.header.refs
+    ref_names = [n for n, _ in refs]
+
+    evidence = collect_evidence(
+        [s.discordants for s in samples],
+        [s.splitters for s in samples],
+        stats,
+        exclude=exclude,
+        ref_names=ref_names,
+    )
+    calls = cluster_breakpoints(evidence, min_weight=cfg.min_weight)
+    if cfg.verbose:
+        print(f"[sv] {len(evidence)} evidence items → {len(calls)} calls")
+
+    genotypers: List[Optional[SVGenotyper]] = [None] * len(samples)
+    if cfg.genotype:
+        genotypers = [
+            SVGenotyper(s.full, s.splitters, st)
+            for s, st in zip(samples, stats)
+        ]
+    depth: List[Optional[DepthProfile]] = [None] * len(samples)
+    if cfg.annotate_depth and cfg.reference:
+        depth = [
+            DepthProfile.from_bam(s.full, cfg.reference) for s in samples
+        ]
+
+    fmt_keys = ["GT", "SU", "PE", "SR"]
+    if cfg.genotype:
+        fmt_keys += ["GQ", "SQ", "GL", "DP", "RO", "AO", "RS", "AS", "RP", "AP", "AB"]
+    if cfg.annotate_depth:
+        fmt_keys.append("CN")
+
+    header = build_sv_header(refs, [s.name for s in samples], cfg)
+    records: List[VCFRecord] = []
+    for vid, call in enumerate(calls, start=1):
+        grs = [
+            g.genotype(call) if g is not None else None for g in genotypers
+        ]
+        cns = [
+            (
+                d.genotype(
+                    ref_names[call.tid1], call.pos1, max(call.pos2, call.pos1 + 1)
+                )
+                if d is not None and call.svtype != BND
+                else None
+            )
+            for d in depth
+        ]
+        sample_cols = [
+            _sample_format(grs[si], call, si, cns[si])
+            for si in range(len(samples))
+        ]
+        if call.svtype == BND:
+            records.extend(
+                _bnd_records(call, vid, ref_names, sample_cols, fmt_keys, cfg)
+            )
+            continue
+        info: Dict[str, object] = {"SVTYPE": call.svtype}
+        svlen = call.pos2 - call.pos1
+        info["SVLEN"] = -svlen if call.svtype == DEL else svlen
+        # breakend convention: pos1 = first affected base (0-based), pos2 =
+        # first base after the event; VCF: DEL anchors at the base before,
+        # END (1-based) = last affected base = pos2 in 0-based numbering
+        info["END"] = call.pos2
+        info["STRANDS"] = _strands_str(call)
+        if call.imprecise:
+            info["IMPRECISE"] = True
+        info["CIPOS"] = list(call.cipos)
+        info["CIEND"] = list(call.ciend)
+        info["CIPOS95"] = list(call.cipos95)
+        info["CIEND95"] = list(call.ciend95)
+        info["SU"] = call.su
+        info["PE"] = call.pe
+        info["SR"] = call.sr
+        if cfg.prob_curves:
+            info["PRPOS"] = _prob_str(call.prpos)
+            info["PREND"] = _prob_str(call.prend)
+        rec_pos = call.pos1 - 1 if call.svtype == DEL else call.pos1
+        records.append(
+            VCFRecord(
+                chrom=ref_names[call.tid1], pos=rec_pos, id=str(vid),
+                ref="N", alt=[f"<{call.svtype}>"], qual=None, filter=".",
+                info=info, format=fmt_keys, samples=sample_cols,
+            )
+        )
+    for g in genotypers:
+        if g is not None:
+            g.close()
+
+    order = {n: i for i, n in enumerate(ref_names)}
+    records.sort(key=lambda r: (order.get(r.chrom, 1 << 30), r.pos))
+    with VCFWriter(output, header) as w:
+        for r in records:
+            w.write(r)
+    if output.endswith(".gz"):
+        tabix_mod.build_tbi(output)
+    # read-depth side outputs (bin/speedseq:1550-1551)
+    if cfg.annotate_depth:
+        base = output[:-7] if output.endswith(".vcf.gz") else output
+        for s, d in zip(samples, depth):
+            if d is not None:
+                d.write_calls_txt(f"{base}.{s.name}.readdepth.txt")
+                d.write_calls_bed(f"{base}.{s.name}.readdepth.bed")
+    return output
+
+
+def _bnd_records(call, vid, ref_names, sample_cols, fmt_keys, cfg):
+    """Paired BND records (VCF spec bracket notation, lumpy style)."""
+    c1, p1 = ref_names[call.tid1], call.pos1
+    c2, p2 = ref_names[call.tid2], call.pos2
+    # orientation: strand 0 (+) = junction extends right of pos
+    def alt_of(chrom, pos, this_strand, other_strand):
+        m = f"{chrom}:{pos + 1}"
+        if this_strand == 0 and other_strand == 1:
+            return f"N[{m}["
+        if this_strand == 0 and other_strand == 0:
+            return f"N]{m}]"
+        if this_strand == 1 and other_strand == 1:
+            return f"[{m}[N"
+        return f"]{m}]N"
+
+    base_info = {
+        "SVTYPE": "BND",
+        "STRANDS": _strands_str(call),
+        "SU": call.su,
+        "PE": call.pe,
+        "SR": call.sr,
+    }
+    if call.imprecise:
+        base_info["IMPRECISE"] = True
+    recs = []
+    for which, (chrom, pos, alt) in enumerate(
+        [
+            (c1, p1, alt_of(c2, p2, call.strand1, call.strand2)),
+            (c2, p2, alt_of(c1, p1, call.strand2, call.strand1)),
+        ]
+    ):
+        info = dict(base_info)
+        info["MATEID"] = f"{vid}_{2 - which}"
+        info["EVENT"] = str(vid)
+        info["CIPOS"] = list(call.cipos if which == 0 else call.ciend)
+        info["CIEND"] = list(call.ciend if which == 0 else call.cipos)
+        if cfg.prob_curves:
+            info["PRPOS"] = _prob_str(call.prpos if which == 0 else call.prend)
+            info["PREND"] = _prob_str(call.prend if which == 0 else call.prpos)
+        recs.append(
+            VCFRecord(
+                chrom=chrom, pos=pos, id=f"{vid}_{which + 1}", ref="N",
+                alt=[alt], qual=None, filter=".", info=info,
+                format=fmt_keys, samples=sample_cols,
+            )
+        )
+    return recs

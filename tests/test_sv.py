@@ -1,0 +1,171 @@
+"""SV tests: evidence classification, clustering, genotyping math, and
+end-to-end DEL/DUP/INV detection on simulated data."""
+
+import os
+
+import numpy as np
+import pytest
+
+from speedseq_tpu.formats.fasta import FastaFile, decode_bases
+from speedseq_tpu.formats.vcf import read_vcf
+from speedseq_tpu.utils import sim
+from speedseq_tpu.align.pipeline import align_fastq, AlignConfig
+from speedseq_tpu.sv import run_sv, SVConfig
+from speedseq_tpu.sv.engine import SVSample
+from speedseq_tpu.sv.evidence import (
+    BND, DEL, DUP, INV, InsertStats, classify_pair,
+)
+from speedseq_tpu.sv.cluster import cluster_breakpoints
+from speedseq_tpu.sv.evidence import Breakpoint
+from speedseq_tpu.sv.svtyper import genotype_from_counts
+
+REF = "/root/reference/example/data/human_g1k_v37_20_42220611-42542245.fasta"
+
+
+def test_classify_pair():
+    st = InsertStats.synthetic(300, 50)
+    # FR pair with huge span → DEL
+    assert classify_pair(0, 1000, 1100, False, 0, 5000, 5100, True, st) == DEL
+    # FR pair with normal span → None (concordant)
+    assert classify_pair(0, 1000, 1100, False, 0, 1200, 1300, True, st) is None
+    # RF pair → DUP
+    assert classify_pair(0, 1000, 1100, True, 0, 2000, 2100, False, st) == DUP
+    # same-strand → INV
+    assert classify_pair(0, 1000, 1100, False, 0, 2000, 2100, False, st) == INV
+    # inter-chromosomal → BND
+    assert classify_pair(0, 1000, 1100, False, 1, 2000, 2100, True, st) == BND
+
+
+def test_cluster_min_weight():
+    st = InsertStats.synthetic(300, 50)
+    prob = np.ones(50) / 50
+
+    def bp(start1, start2):
+        return Breakpoint(
+            svtype=DEL, tid1=0, strand1=0, start1=start1, prob1=prob.copy(),
+            tid2=0, strand2=1, start2=start2, prob2=prob.copy(),
+            weight=1, sample=0, is_split=False,
+        )
+
+    # 3 overlapping items: below min_weight 4 → no call
+    ev = [bp(1000 + i * 5, 3000 + i * 5) for i in range(3)]
+    assert cluster_breakpoints(ev, min_weight=4) == []
+    # 5 overlapping → one call
+    ev = [bp(1000 + i * 5, 3000 + i * 5) for i in range(5)]
+    calls = cluster_breakpoints(ev, min_weight=4)
+    assert len(calls) == 1
+    c = calls[0]
+    assert c.svtype == DEL and c.su == 5 and c.pe == 5 and c.sr == 0
+    assert c.imprecise
+    assert 1000 <= c.pos1 <= 1100 and 3000 <= c.pos2 <= 3100
+    # distant second cluster separates
+    ev += [bp(20000 + i * 5, 23000 + i * 5) for i in range(6)]
+    calls = cluster_breakpoints(ev, min_weight=4)
+    assert len(calls) == 2
+
+
+def test_genotype_from_counts():
+    hom_ref = genotype_from_counts(30, 0)
+    assert hom_ref.gt == "0/0" and hom_ref.gq > 10
+    het = genotype_from_counts(15, 14)
+    assert het.gt == "0/1" and het.sq > 20
+    hom_alt = genotype_from_counts(0, 25)
+    assert hom_alt.gt == "1/1"
+    assert hom_alt.ab == 1.0
+
+
+@pytest.fixture(scope="module")
+def sv_run(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sv")
+    g = FastaFile(REF).fetch_encoded("20_slice")[:50000]
+    sub = str(d / "sub.fa")
+    with open(sub, "w") as fh:
+        s = decode_bases(g).decode()
+        fh.write(">sub\n" + "\n".join(s[i : i + 60] for i in range(0, len(s), 60)) + "\n")
+    DELp, DELl = 8000, 2500
+    INVp, INVl = 25000, 2000
+    DUPp, DUPl = 35000, 1500
+    mutant = np.concatenate(
+        [
+            g[:DELp],
+            g[DELp + DELl : INVp],
+            3 - g[INVp : INVp + INVl][::-1],      # inversion
+            g[INVp + INVl : DUPp + DUPl],
+            g[DUPp : DUPp + DUPl],                # tandem duplication
+            g[DUPp + DUPl :],
+        ]
+    )
+    npairs = int(30 * len(mutant) / 200)
+    names, s1, q1, s2, q2, _ = sim.simulate_pairs(mutant, npairs, read_len=100, seed=17)
+    sim.to_fastq(str(d / "1.fq"), str(d / "2.fq"), names, s1, q1, s2, q2)
+    align_fastq(sub, str(d / "1.fq"), str(d / "2.fq"), out_prefix=str(d / "s"),
+                config=AlignConfig(batch_size=512, sample="S1"))
+    out = run_sv(
+        [SVSample("S1", str(d / "s.bam"), str(d / "s.splitters.bam"),
+                  str(d / "s.discordants.bam"))],
+        str(d / "sv.vcf.gz"),
+        SVConfig(annotate_depth=True, reference=sub),
+    )
+    truth = dict(DEL=(DELp, DELp + DELl), INV=(INVp, INVp + INVl),
+                 DUP=(DUPp, DUPp + DUPl))
+    return d, out, truth
+
+
+def test_sv_detection(sv_run):
+    d, out, truth = sv_run
+    hdr, recs = read_vcf(out)
+    found = {}
+    for r in recs:
+        t = r.info.get("SVTYPE")
+        if t in ("DEL", "DUP", "INV") and t not in found:
+            found[t] = r
+    for t in ("DEL", "DUP", "INV"):
+        assert t in found, f"{t} not called; got {[r.info.get('SVTYPE') for r in recs]}"
+        r = found[t]
+        want_start, want_end = truth[t]
+        assert abs(r.pos - want_start) <= 150, (t, r.pos, want_start)
+        assert abs(int(r.info["END"]) - want_end) <= 150, (t, r.info["END"], want_end)
+        assert int(r.info["SU"]) >= 4
+
+
+def test_sv_vcf_surface(sv_run):
+    d, out, truth = sv_run
+    assert os.path.exists(out + ".tbi")
+    hdr, recs = read_vcf(out)
+    assert hdr.samples == ["S1"]
+    r = recs[0]
+    for k in ("SVTYPE", "STRANDS", "CIPOS", "CIEND", "SU", "PE", "SR",
+              "PRPOS", "PREND"):
+        assert k in r.info, k
+    assert r.format[:4] == ["GT", "SU", "PE", "SR"]
+    for k in ("GQ", "SQ", "GL", "DP", "RO", "AO", "AB", "CN"):
+        assert k in r.format, k
+    del_rec = next(r for r in recs if r.info.get("SVTYPE") == "DEL")
+    assert int(del_rec.info["SVLEN"]) < 0
+    # homozygous events in a haploid-sim sample: DEL genotyped non-ref
+    assert del_rec.samples[0]["GT"] in ("0/1", "1/1")
+    assert float(del_rec.samples[0]["CN"]) < 1.0
+    dup_rec = next(r for r in recs if r.info.get("SVTYPE") == "DUP")
+    assert float(dup_rec.samples[0]["CN"]) > 2.5
+    # readdepth side outputs (bin/speedseq:1550-1551)
+    base = out[:-7]
+    assert os.path.exists(f"{base}.S1.readdepth.txt")
+    assert os.path.exists(f"{base}.S1.readdepth.bed")
+
+
+def test_exclude_bed(sv_run, tmp_path):
+    d, out, truth = sv_run
+    # excluding the DEL region suppresses the DEL call
+    xbed = str(tmp_path / "x.bed")
+    with open(xbed, "w") as fh:
+        fh.write(f"sub\t{truth['DEL'][0] - 1000}\t{truth['DEL'][1] + 1000}\n")
+    out2 = run_sv(
+        [SVSample("S1", str(d / "s.bam"), str(d / "s.splitters.bam"),
+                  str(d / "s.discordants.bam"))],
+        str(d / "sv_x.vcf.gz"),
+        SVConfig(exclude_bed=xbed, genotype=False),
+    )
+    hdr, recs = read_vcf(out2)
+    types = [r.info.get("SVTYPE") for r in recs]
+    assert "DEL" not in types
+    assert "DUP" in types and "INV" in types
