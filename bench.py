@@ -26,7 +26,6 @@ def main():
     from speedseq_tpu.formats.fasta import FastaFile
     from speedseq_tpu.index.bwt import build_index, load_index
     from speedseq_tpu.index.fm import FMIndex
-    from speedseq_tpu.align.core import align_candidates
     from speedseq_tpu.utils.sim import simulate_pairs
     import os
 
@@ -37,23 +36,36 @@ def main():
     fm = jax.device_put(fm)
 
     genome = FastaFile(ref).fetch_encoded("20_slice")
-    B, L = 2048, 100
+    B, L = 4096, 100
     _, s1, _, s2, _, _ = simulate_pairs(genome, B // 2, read_len=L, seed=0)
     reads = np.concatenate([s1, s2]).astype(np.int32)
     lengths = np.full(B, L, dtype=np.int32)
 
-    step = jax.jit(lambda f, r, l: align_candidates(f, r, l, n_chains=4))
-    r_d = jax.device_put(reads)
-    l_d = jax.device_put(lengths)
-    # warmup/compile
-    out = step(fm, r_d, l_d)
-    jax.block_until_ready(out)
+    from speedseq_tpu.align.core import fused_align_step
+    from speedseq_tpu.align.sw import _pallas_ok
+    import jax.numpy as jnp
 
+    use_pallas = _pallas_ok()
+    r1 = jax.device_put(reads[: B // 2])
+    r2 = jax.device_put(reads[B // 2 :])
+    l1 = jax.device_put(lengths[: B // 2])
+    l2 = jax.device_put(lengths[B // 2 :])
+    distro = jnp.asarray([320.0, 50.0, 120.0, 520.0], jnp.float32)
+
+    def full_step():
+        """The real per-batch device work of the align pipeline: phase-1
+        scoring for both ends, joint pair selection, split detection,
+        phase-2 extension — one dispatch, one host transfer."""
+        res = fused_align_step(
+            fm, r1, l1, r2, l2, distro=distro, use_pallas=use_pallas
+        )
+        return np.asarray(res[0][0].score)
+
+    full_step()  # warmup / compile
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = step(fm, r_d, l_d)
-    jax.block_until_ready(out)
+        full_step()
     dt = time.perf_counter() - t0
     reads_per_s = B * iters / dt
 

@@ -29,6 +29,8 @@ class Chains(NamedTuple):
     strand: jnp.ndarray
     weight: jnp.ndarray        # total seed bases in chain (approx score)
     valid: jnp.ndarray         # bool
+    qspan_beg: jnp.ndarray     # min seed qpos in chain (strand frame)
+    qspan_end: jnp.ndarray     # max seed qpos+len in chain
 
 
 @functools.partial(jax.jit, static_argnames=("k", "band", "max_chain_gap"))
@@ -100,6 +102,15 @@ def chain_seeds(
     gat = lambda a: jnp.take_along_axis(a, anchor_slot, axis=1)
     a_rpos, a_qpos, a_len, a_strand = gat(rpos), gat(qpos), gat(slen), gat(strand)
 
+    # per-chain query span (for split detection without a traceback)
+    BIGQ = jnp.int32(1 << 20)
+    qbeg_c = jnp.full((B, S), BIGQ, jnp.int32).at[
+        jnp.arange(B)[:, None], cid
+    ].min(jnp.where(valid, qpos, BIGQ))
+    qend_c = jnp.zeros((B, S), jnp.int32).at[
+        jnp.arange(B)[:, None], cid
+    ].max(jnp.where(valid, qpos + slen, 0))
+
     # top-K chains by weight
     w_for_rank = jnp.where(chain_valid, weight, -1)
     topw, topi = jax.lax.top_k(w_for_rank, k)
@@ -111,4 +122,6 @@ def chain_seeds(
         strand=sel(a_strand),
         weight=topw,
         valid=topw > 0,
+        qspan_beg=jnp.minimum(sel(qbeg_c), BIGQ - 1),
+        qspan_end=sel(qend_c),
     )

@@ -107,6 +107,288 @@ def align_candidates(
     )
 
 
+class ScoredChains(NamedTuple):
+    """Phase-1 output: chain candidates with SW scores but no traceback.
+
+    All (B, K) device arrays; query spans are in strand frame.
+    """
+
+    pos: jnp.ndarray        # leftmost genome pos estimate (rend - aligned span)
+    rend_pos: jnp.ndarray   # genome end pos (exclusive) of the best cell
+    strand: jnp.ndarray
+    score: jnp.ndarray
+    anchor_rpos: jnp.ndarray
+    anchor_qpos: jnp.ndarray
+    qspan_beg: jnp.ndarray
+    qspan_end: jnp.ndarray
+    qend: jnp.ndarray       # query end (exclusive) of best cell
+    valid: jnp.ndarray
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_chains", "stride", "min_seed_len", "max_hits", "params", "use_pallas"
+    ),
+)
+def score_candidates(
+    fm: FMIndex,
+    reads: jnp.ndarray,
+    lengths: jnp.ndarray,
+    n_chains: int = 4,
+    stride: int = 8,
+    min_seed_len: int = 19,
+    max_hits: int = 4,
+    params: SWParams = SWParams(),
+    use_pallas: bool = False,
+) -> ScoredChains:
+    """Phase 1: seed → chain → score-only SW over all K chains/read."""
+    from .sw import banded_sw_score, banded_sw_score_pallas
+
+    B, L = reads.shape
+    reads = reads.astype(jnp.int32)
+    seeds = find_seeds(
+        fm, reads, lengths, stride=stride, min_seed_len=min_seed_len,
+        max_hits=max_hits,
+    )
+    chains = chain_seeds(seeds, L, k=n_chains)
+    K = n_chains
+    W = L + 2 * PAD
+    reads_rc = revcomp_reads(reads, lengths)
+    strand = chains.strand
+    q_fwd = jnp.broadcast_to(reads[:, None, :], (B, K, L))
+    q_rc = jnp.broadcast_to(reads_rc[:, None, :], (B, K, L))
+    queries = jnp.where(strand[..., None] == 1, q_rc, q_fwd).reshape(B * K, L)
+    rstart = chains.anchor_rpos - chains.anchor_qpos - PAD
+    refwin = get_ref_window(fm, rstart.reshape(-1), W)
+    qlen = jnp.broadcast_to(lengths[:, None], (B, K)).reshape(-1)
+    if use_pallas:
+        Wp = ((W + 127) // 128) * 128
+        refp = jnp.pad(
+            refwin.astype(jnp.int32), ((0, 0), (0, Wp - W)), constant_values=4
+        )
+        sw = banded_sw_score_pallas(queries, qlen, refp, params=params)
+    else:
+        sw = banded_sw_score(
+            queries, qlen, refwin.astype(jnp.int32), params=params
+        )
+    score = jnp.where(chains.valid.reshape(-1), sw.score, 0).reshape(B, K)
+    rend_pos = (rstart.reshape(-1) + sw.rend).reshape(B, K)
+    span = jnp.minimum(sw.qend, sw.rend)  # crude aligned-span floor
+    pos_est = rend_pos - span.reshape(B, K)
+    return ScoredChains(
+        pos=jnp.maximum(pos_est, rstart),
+        rend_pos=rend_pos,
+        strand=strand,
+        score=score,
+        anchor_rpos=chains.anchor_rpos,
+        anchor_qpos=chains.anchor_qpos,
+        qspan_beg=chains.qspan_beg,
+        qspan_end=chains.qspan_end,
+        qend=sw.qend.reshape(B, K),
+        valid=chains.valid,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
+def extend_candidates(
+    fm: FMIndex,
+    reads: jnp.ndarray,
+    lengths: jnp.ndarray,
+    anchor_rpos: jnp.ndarray,   # (B, S) — selected chains (host-gathered)
+    anchor_qpos: jnp.ndarray,   # (B, S)
+    strand: jnp.ndarray,        # (B, S)
+    params: SWParams = SWParams(),
+    use_pallas: bool = False,
+) -> Candidates:
+    """Phase 2: full SW + traceback for the selected chains only."""
+    B, L = reads.shape
+    S = anchor_rpos.shape[1]
+    reads = reads.astype(jnp.int32)
+    W = L + 2 * PAD
+    reads_rc = revcomp_reads(reads, lengths)
+    q_fwd = jnp.broadcast_to(reads[:, None, :], (B, S, L))
+    q_rc = jnp.broadcast_to(reads_rc[:, None, :], (B, S, L))
+    queries = jnp.where(strand[..., None] == 1, q_rc, q_fwd).reshape(B * S, L)
+    rstart = anchor_rpos - anchor_qpos - PAD
+    refwin = get_ref_window(fm, rstart.reshape(-1), W)
+    qlen = jnp.broadcast_to(lengths[:, None], (B, S)).reshape(-1)
+    if use_pallas:
+        from .sw import banded_sw_pallas
+
+        Wp = ((W + 127) // 128) * 128
+        refp = jnp.pad(
+            refwin.astype(jnp.int32), ((0, 0), (0, Wp - W)), constant_values=4
+        )
+        sw = banded_sw_pallas(queries, qlen, refp, params=params)
+    else:
+        sw = banded_sw(queries, qlen, refwin.astype(jnp.int32), params=params)
+    valid = (anchor_rpos >= 0).reshape(-1)
+    score = jnp.where(valid, sw.score, 0).reshape(B, S)
+    pos = (rstart.reshape(-1) + sw.rbeg).reshape(B, S)
+    rend_pos = (rstart.reshape(-1) + sw.rend).reshape(B, S)
+    return Candidates(
+        pos=pos,
+        strand=strand,
+        score=score,
+        qbeg=sw.qbeg.reshape(B, S),
+        qend=sw.qend.reshape(B, S),
+        rend_pos=rend_pos,
+        cigar_ops=sw.cigar_ops.reshape(B, S, -1),
+        cigar_len=sw.cigar_len.reshape(B, S, -1),
+        n_ops=sw.n_ops.reshape(B, S),
+        seed_cov=jnp.zeros((B, S), jnp.int32),
+        refwin=refwin.reshape(B, S, W),
+        rstart=rstart,
+    )
+
+
+def _device_choose(
+    sc: ScoredChains,
+    lengths: jnp.ndarray,
+    chosen_k: Optional[jnp.ndarray],
+    min_out_score: int = 30,
+    mask_level: float = 0.5,
+    match: int = 1,
+):
+    """Device-side candidate selection (mirrors choose_candidates)."""
+    score, pos, rend = sc.score, sc.pos, sc.rend_pos
+    B, K = score.shape
+    bidx = jnp.arange(B)
+    kp = chosen_k if chosen_k is not None else jnp.argmax(score, axis=1)
+    sp = score[bidx, kp]
+    posp = pos[bidx, kp][:, None]
+    rendp = rend[bidx, kp][:, None]
+    ovl = ~((rend <= posp) | (pos >= rendp))
+    other = jnp.arange(K)[None, :] != kp[:, None]
+    live = other & (score > 0)
+    non_ovl = live & ~ovl
+    sub = jnp.max(jnp.where(non_ovl, score, 0), axis=1)
+    sub_n = jnp.sum(
+        (non_ovl & (score >= (sp - 3 * match)[:, None])).astype(jnp.int32),
+        axis=1,
+    )
+    qlen = lengths[:, None]
+    ob = jnp.where(sc.strand == 1, qlen - sc.qspan_end, sc.qspan_beg)
+    oe = jnp.where(sc.strand == 1, qlen - sc.qspan_beg, sc.qspan_end)
+    pb = ob[bidx, kp][:, None]
+    pe = oe[bidx, kp][:, None]
+    qov = jnp.clip(jnp.minimum(pe, oe) - jnp.maximum(pb, ob), 0)
+    shorter = jnp.maximum(1, jnp.minimum(pe - pb, oe - ob))
+    split_ok = non_ovl & (score >= min_out_score) & (qov < mask_level * shorter)
+    supp_score = jnp.where(split_ok, score, -1)
+    ks = jnp.argmax(supp_score, axis=1)
+    has_supp = supp_score[bidx, ks] > 0
+    a_rpos = jnp.stack(
+        [sc.anchor_rpos[bidx, kp],
+         jnp.where(has_supp, sc.anchor_rpos[bidx, ks], -1)], axis=1
+    )
+    a_qpos = jnp.stack(
+        [sc.anchor_qpos[bidx, kp],
+         jnp.where(has_supp, sc.anchor_qpos[bidx, ks], 0)], axis=1
+    )
+    a_strand = jnp.stack(
+        [sc.strand[bidx, kp],
+         jnp.where(has_supp, sc.strand[bidx, ks], 0)], axis=1
+    )
+    return a_rpos, a_qpos, a_strand, sub, sub_n
+
+
+def _device_pair_select(
+    sc1: ScoredChains, sc2: ScoredChains, distro: jnp.ndarray,
+    pen_unpaired: int = 17,
+):
+    """Device-side joint pair selection (mirrors pairing.joint_pair_select).
+
+    distro: (4,) float32 [mean, std, low, high]."""
+    mean, std, low, high = distro[0], distro[1], distro[2], distro[3]
+    pos1 = sc1.pos[:, :, None]
+    pos2 = sc2.pos[:, None, :]
+    end1 = sc1.rend_pos[:, :, None]
+    end2 = sc2.rend_pos[:, None, :]
+    st1 = sc1.strand[:, :, None]
+    st2 = sc2.strand[:, None, :]
+    s1 = sc1.score[:, :, None]
+    s2 = sc2.score[:, None, :]
+    left = jnp.minimum(pos1, pos2)
+    right = jnp.maximum(end1, end2)
+    isize = (right - left).astype(jnp.float32)
+    fwd_first = jnp.where(pos1 <= pos2, st1 == 0, st2 == 0)
+    proper = (
+        (st1 != st2) & fwd_first & (isize > 0)
+        & (isize <= high + 4 * std) & (s1 > 0) & (s2 > 0)
+    )
+    z = (isize - mean) / jnp.maximum(std, 1.0)
+    pen = jnp.where(
+        proper,
+        jnp.minimum(jnp.float32(pen_unpaired + 8), 0.72 * z * z),
+        jnp.float32(pen_unpaired),
+    ).astype(jnp.int32)
+    total = jnp.where(
+        (s1 > 0) & (s2 > 0), s1 + s2 - pen,
+        jnp.maximum(s1, s2) - pen_unpaired,
+    )
+    B, K, _ = total.shape
+    flat = total.reshape(B, K * K)
+    best = jnp.argmax(flat, axis=1).astype(jnp.int32)
+    return best // K, best % K
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_chains", "stride", "min_seed_len", "max_hits", "params",
+        "use_pallas", "paired",
+    ),
+)
+def fused_align_step(
+    fm: FMIndex,
+    reads1: jnp.ndarray,
+    lengths1: jnp.ndarray,
+    reads2: Optional[jnp.ndarray] = None,
+    lengths2: Optional[jnp.ndarray] = None,
+    distro: Optional[jnp.ndarray] = None,   # (4,) [mean, std, low, high]
+    n_chains: int = 4,
+    stride: int = 8,
+    min_seed_len: int = 19,
+    max_hits: int = 4,
+    params: SWParams = SWParams(),
+    use_pallas: bool = False,
+    paired: bool = True,
+):
+    """One fully-fused device step: phase-1 scoring for both ends, joint
+    pair selection, split detection, and phase-2 extension — a single
+    dispatch + a single host transfer per batch (the relay's host↔device
+    round trip is ~100 ms, so per-batch syncs dominate anything else)."""
+    kw = dict(
+        n_chains=n_chains, stride=stride, min_seed_len=min_seed_len,
+        max_hits=max_hits, params=params, use_pallas=use_pallas,
+    )
+    sc1 = score_candidates(fm, reads1, lengths1, **kw)
+    if paired and reads2 is not None:
+        sc2 = score_candidates(fm, reads2, lengths2, **kw)
+        if distro is None:
+            distro = jnp.asarray([300.0, 100.0, 50.0, 700.0], jnp.float32)
+        k1, k2 = _device_pair_select(sc1, sc2, distro)
+    else:
+        sc2, k1, k2 = None, None, None
+    out = []
+    for sc, reads, lengths, kk in (
+        (sc1, reads1, lengths1, k1),
+        (sc2, reads2, lengths2, k2),
+    ):
+        if sc is None:
+            out.append(None)
+            continue
+        arp, aqp, ast, sub, sub_n = _device_choose(sc, lengths, kk)
+        cand = extend_candidates(
+            fm, reads, lengths, arp, aqp, ast,
+            params=params, use_pallas=use_pallas,
+        )
+        out.append((cand, sub, sub_n, sc))
+    return tuple(out)
+
+
 # ---------------------------------------------------------------- host side
 
 class HostAlignment(NamedTuple):
@@ -123,6 +405,74 @@ class HostAlignment(NamedTuple):
     md: str
     end_pos: int
     aligned: bool
+
+
+class Selection(NamedTuple):
+    """Host-side phase-1 selection for the extend pass."""
+
+    anchor_rpos: np.ndarray   # (B, 2) int32; -1 = empty slot
+    anchor_qpos: np.ndarray
+    strand: np.ndarray
+    sub: np.ndarray           # (B,) suboptimal score for MAPQ
+    sub_n: np.ndarray         # (B,)
+
+
+def choose_candidates(
+    sc: ScoredChains,
+    lengths_np: np.ndarray,
+    chosen_k: Optional[np.ndarray] = None,
+    min_out_score: int = 30,
+    mask_level: float = 0.5,
+    match: int = 1,
+) -> Selection:
+    """Pick primary (+ optional split supplementary) chain per read from
+    phase-1 scores; computes MAPQ sub-score stats."""
+    score = np.asarray(sc.score)
+    pos = np.asarray(sc.pos)
+    rend = np.asarray(sc.rend_pos)
+    strand = np.asarray(sc.strand)
+    qb = np.asarray(sc.qspan_beg)
+    qe = np.asarray(sc.qspan_end)
+    arp = np.asarray(sc.anchor_rpos)
+    aqp = np.asarray(sc.anchor_qpos)
+    B, K = score.shape
+    kp = chosen_k.astype(int) if chosen_k is not None else np.argmax(score, axis=1)
+    bidx = np.arange(B)
+    sp = score[bidx, kp]
+    # ref-overlap with the chosen candidate
+    ovl = ~(
+        (rend <= pos[bidx, kp][:, None]) | (pos >= rend[bidx, kp][:, None])
+    )
+    other = np.ones((B, K), bool)
+    other[bidx, kp] = False
+    live = other & (score > 0)
+    non_ovl = live & ~ovl
+    sub = np.where(non_ovl, score, 0).max(axis=1)
+    sub_n = (non_ovl & (score >= (sp - 3 * match)[:, None])).sum(axis=1)
+    # split supplementary: query-span disjoint candidates (orig frame)
+    qlen = lengths_np[:, None]
+    ob = np.where(strand == 1, qlen - qe, qb)
+    oe = np.where(strand == 1, qlen - qb, qe)
+    pb = ob[bidx, kp][:, None]
+    pe = oe[bidx, kp][:, None]
+    qov = np.maximum(
+        0, np.minimum(pe, oe) - np.maximum(pb, ob)
+    )
+    shorter = np.maximum(1, np.minimum(pe - pb, oe - ob))
+    split_ok = non_ovl & (score >= min_out_score) & (qov < mask_level * shorter)
+    supp_score = np.where(split_ok, score, -1)
+    ks = np.argmax(supp_score, axis=1)
+    has_supp = supp_score[bidx, ks] > 0
+    sel_rpos = np.stack(
+        [arp[bidx, kp], np.where(has_supp, arp[bidx, ks], -1)], axis=1
+    ).astype(np.int32)
+    sel_qpos = np.stack(
+        [aqp[bidx, kp], np.where(has_supp, aqp[bidx, ks], 0)], axis=1
+    ).astype(np.int32)
+    sel_strand = np.stack(
+        [strand[bidx, kp], np.where(has_supp, strand[bidx, ks], 0)], axis=1
+    ).astype(np.int32)
+    return Selection(sel_rpos, sel_qpos, sel_strand, sub, sub_n)
 
 
 _MAPQ_COEF = 6.02  # bwa mem_approx_mapq_se constants [external knowledge]
@@ -195,6 +545,69 @@ def _nm_md(cigar, query, refwin, qbeg, rbeg):
         # soft clips don't touch MD/NM
     md.append(str(run))
     return nm, "".join(md)
+
+
+def finalize_alignments(
+    cand: Candidates,
+    reads_np: np.ndarray,
+    lengths_np: np.ndarray,
+    sub: np.ndarray,
+    sub_n: np.ndarray,
+    params: SWParams = SWParams(),
+    min_seed_len: int = 19,
+    min_out_score: int = 30,
+) -> list:
+    """Finalize the 2-slot extend output (slot 0 primary, slot 1 supp)
+    into (HostAlignment, Optional[HostAlignment]) per read."""
+    pos = np.asarray(cand.pos)
+    strand = np.asarray(cand.strand)
+    score = np.asarray(cand.score)
+    qbeg = np.asarray(cand.qbeg)
+    qend = np.asarray(cand.qend)
+    rend = np.asarray(cand.rend_pos)
+    ops = np.asarray(cand.cigar_ops)
+    lens = np.asarray(cand.cigar_len)
+    n_ops = np.asarray(cand.n_ops)
+    refwin = np.asarray(cand.refwin)
+    rstart = np.asarray(cand.rstart)
+    B = score.shape[0]
+    unaligned = HostAlignment(-1, 0, 0, 0, 0, 0, [], 0, "", -1, False)
+    out = []
+    for b in range(B):
+        qlen = int(lengths_np[b])
+
+        def fin(k, sb, sn):
+            s = int(score[b, k])
+            mapq = mapq_from_scores(s, sb, sn, qlen, min_seed_len, params)
+            cig = _cigar_with_clips(
+                ops[b, k], lens[b, k], int(n_ops[b, k]),
+                int(qbeg[b, k]), int(qend[b, k]), qlen,
+            )
+            q = reads_np[b][:qlen].astype(np.int32)
+            if strand[b, k] == 1:
+                qr = q[::-1]
+                q = np.where(qr < 4, 3 - qr, 4)
+            nm, md = _nm_md(
+                [c for c in cig if c[0] != 4], q, refwin[b, k],
+                int(qbeg[b, k]), int(pos[b, k] - rstart[b, k]),
+            )
+            return HostAlignment(
+                pos=int(pos[b, k]), strand=int(strand[b, k]), score=s,
+                sub_score=sb, sub_n=sn, mapq=mapq, cigar=cig, nm=nm, md=md,
+                end_pos=int(rend[b, k]), aligned=True,
+            )
+
+        if score[b, 0] < min_out_score:
+            out.append((unaligned, None))
+            continue
+        prim = fin(0, int(sub[b]), int(sub_n[b]))
+        supp = None
+        if score.shape[1] > 1 and score[b, 1] >= min_out_score and pos[b, 1] >= 0:
+            # ref-overlapping second piece is not a split
+            if rend[b, 1] <= pos[b, 0] or pos[b, 1] >= rend[b, 0]:
+                supp = fin(1, 0, 0)
+        out.append((prim, supp))
+    return out
 
 
 def _orig_frame(qbeg: int, qend: int, strand: int, qlen: int) -> Tuple[int, int]:

@@ -57,6 +57,10 @@ def mark_duplicates(
     True = duplicate.  First occurrence in input order wins (samblaster
     streaming first-seen semantics)."""
     n = len(tid1)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    ok1 = np.asarray(ok1, dtype=bool)
+    ok2 = np.asarray(ok2, dtype=bool)
     # canonical ordering of the two ends
     a = np.stack([tid1, p5_1, st1], axis=1).astype(np.int64)
     b = np.stack([tid2, p5_2, st2], axis=1).astype(np.int64)

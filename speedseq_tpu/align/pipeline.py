@@ -31,11 +31,22 @@ from ..formats.sam import (
 from ..formats.fasta import decode_bases
 from ..index.bwt import BWAIndex, build_index, load_index
 from ..index.fm import FMIndex
-from .core import Candidates, HostAlignment, align_candidates, select_alignments
+from .core import (
+    Candidates,
+    HostAlignment,
+    align_candidates,
+    choose_candidates,
+    extend_candidates,
+    finalize_alignments,
+    fused_align_step,
+    score_candidates,
+    select_alignments,
+)
 from .markdup import (
     make_sa_tag, mark_duplicates, split_qualifies, strip_seq, unclipped_5p,
 )
 from .pairing import InsertDistro, joint_pair_select, is_proper
+from .sw import _pallas_ok
 
 
 @dataclass
@@ -46,9 +57,26 @@ class AlignConfig:
     min_seed_len: int = 19
     rg_id: str = "1"
     sample: str = "sample"
-    rg_string: Optional[str] = None   # full @RG line override (bwa -R)
+    rg_string: Optional[str] = None   # full @RG line override (bwa -R / -R)
     include_dups_in_side: bool = False  # speedseq -i (bin/speedseq:267-269)
+    max_split_count: int = 2          # samblaster -c (bin/speedseq:242)
+    min_non_overlap: int = 20         # samblaster -m (bin/speedseq:243)
+    insert_override: Optional[Tuple[float, float, int, int]] = None
+    # bwa -I mean,std,max,min (bin/speedseq:438; README.md:203-207)
+    checkpoint: bool = False   # per-batch checkpoint journal (new feature:
+    resume: bool = False       # the reference has none, SURVEY.md §5)
+    checkpoint_every: int = 8
     verbose: bool = False
+
+    def __post_init__(self):
+        if self.rg_string:
+            d = dict(
+                f.split(":", 1)
+                for f in self.rg_string.replace("\\t", "\t").split("\t")[1:]
+                if ":" in f
+            )
+            self.rg_id = d.get("ID", self.rg_id)
+            self.sample = d.get("SM", self.sample)
 
 
 def _load_fm(reference: str) -> Tuple[BWAIndex, FMIndex]:
@@ -74,6 +102,7 @@ class _PairRow:
     aln: HostAlignment
     supp: Optional[HostAlignment]
     tid: int
+    rg: str = ""
 
 
 def align_fastq(
@@ -84,7 +113,30 @@ def align_fastq(
     out_prefix: str = "out",
     config: AlignConfig = AlignConfig(),
 ) -> Dict[str, str]:
-    """Run the full align module; returns output paths."""
+    """Run the full align module on FASTQ input; returns output paths."""
+    cfg = config
+    batches = fastq.iter_batches(
+        fq1, batch_size=cfg.batch_size, max_len=cfg.max_read_len,
+        paired_with=fq2, interleaved=interleaved,
+    )
+    paired = fq2 is not None or interleaved
+    return align_stream(reference, batches, out_prefix, cfg, paired=paired)
+
+
+def align_stream(
+    reference: str,
+    batch_iter,
+    out_prefix: str,
+    config: AlignConfig = AlignConfig(),
+    rg_lines: Optional[List[str]] = None,
+    paired: bool = True,
+) -> Dict[str, str]:
+    """Align a stream of (ReadBatch, ReadBatch|None) pairs.
+
+    ReadBatch.comments entries of the form ``RG:<id>`` carry per-read
+    read groups (the realign module's bamheadrg.py semantics,
+    bin/speedseq:1962); otherwise cfg.rg_id applies.
+    """
     t0 = time.time()
     idx, fm = _load_fm(reference)
     cfg = config
@@ -92,42 +144,80 @@ def align_fastq(
     rows1: List[_PairRow] = []
     rows2: List[_PairRow] = []
     distro: Optional[InsertDistro] = None
-    paired = fq2 is not None or interleaved
+    if cfg.insert_override is not None:
+        m, s, mx, mn = cfg.insert_override
+        distro = InsertDistro(mean=m, std=s, low=int(mn), high=int(mx))
     n_reads = 0
+    use_pallas = _pallas_ok()
 
-    for b1, b2 in fastq.iter_batches(
-        fq1, batch_size=cfg.batch_size, max_len=cfg.max_read_len,
-        paired_with=fq2, interleaved=interleaved,
-    ):
+    # checkpoint/resume (batch-granular; a capability the reference lacks —
+    # its resumability is only whole-module artifact reuse, SURVEY.md §5)
+    import pickle
+
+    ckpt_path = out_prefix + ".align.ckpt"
+    done_batches = 0
+    if cfg.resume and os.path.exists(ckpt_path):
+        with open(ckpt_path, "rb") as fh:
+            state = pickle.load(fh)
+        rows1, rows2, distro, done_batches, n_reads = state
+        if cfg.verbose:
+            print(f"[align] resumed at batch {done_batches} ({n_reads} reads)")
+
+    def _save_ckpt(bi):
+        tmp = ckpt_path + ".tmp"
+        with open(tmp, "wb") as fh:
+            pickle.dump((rows1, rows2, distro, bi + 1, n_reads), fh)
+        os.replace(tmp, ckpt_path)
+
+    import jax.numpy as jnp
+
+    from ..utils.prefetch import prefetch
+
+    distro_arr = None
+    for bi, (b1, b2) in enumerate(prefetch(batch_iter)):
+        if bi < done_batches:
+            continue
         n = b1.n
         batches = [b1] + ([b2] if b2 is not None else [])
-        cands, seqs_p, lens_p = [], [], []
+        seqs_p, lens_p = [], []
         for bb in batches:
-            seq = _pad_batch(bb.seq, cfg.batch_size)
-            lng = _pad_batch(bb.length[:, None], cfg.batch_size)[:, 0]
-            seqs_p.append(seq)
-            lens_p.append(lng)
-            cands.append(
-                align_candidates(
-                    fm, seq, lng, n_chains=cfg.n_chains,
-                    min_seed_len=cfg.min_seed_len,
+            seqs_p.append(_pad_batch(bb.seq, cfg.batch_size))
+            lens_p.append(_pad_batch(bb.length[:, None], cfg.batch_size)[:, 0])
+        if distro is not None and distro_arr is None:
+            distro_arr = jnp.asarray(
+                [distro.mean, distro.std, distro.low, distro.high], jnp.float32
+            )
+        is_paired_batch = paired and b2 is not None
+        res = fused_align_step(
+            fm,
+            seqs_p[0], lens_p[0],
+            seqs_p[1] if is_paired_batch else None,
+            lens_p[1] if is_paired_batch else None,
+            distro=distro_arr,
+            n_chains=cfg.n_chains,
+            min_seed_len=cfg.min_seed_len,
+            use_pallas=use_pallas,
+            paired=is_paired_batch,
+        )
+        if is_paired_batch and distro is None:
+            distro = _estimate_distro(res[0][3], res[1][3], cfg)
+            distro_arr = jnp.asarray(
+                [distro.mean, distro.std, distro.low, distro.high], jnp.float32
+            )
+            if cfg.verbose:
+                print(
+                    f"[align] insert distro mean={distro.mean:.1f} "
+                    f"std={distro.std:.1f} bounds=[{distro.low},{distro.high}]"
+                )
+        sels = []
+        for which in range(len(batches)):
+            cand, sub, sub_n, _sc = res[which]
+            sels.append(
+                finalize_alignments(
+                    cand, seqs_p[which], lens_p[which],
+                    np.asarray(sub), np.asarray(sub_n),
                 )
             )
-        if paired and b2 is not None:
-            if distro is None:
-                distro = _estimate_distro(cands[0], cands[1], cfg)
-                if cfg.verbose:
-                    print(
-                        f"[align] insert distro mean={distro.mean:.1f} "
-                        f"std={distro.std:.1f} bounds=[{distro.low},{distro.high}]"
-                    )
-            k1, k2, _ = joint_pair_select(cands[0], cands[1], distro)
-            sels = [
-                select_alignments(cands[0], seqs_p[0], lens_p[0], chosen_k=k1),
-                select_alignments(cands[1], seqs_p[1], lens_p[1], chosen_k=k2),
-            ]
-        else:
-            sels = [select_alignments(cands[0], seqs_p[0], lens_p[0])]
 
         for i in range(n):
             for which, (bb, sel, rows) in enumerate(
@@ -140,6 +230,8 @@ def align_fastq(
                     if prim.aligned
                     else -1
                 )
+                comment = bb.comments[i] if i < len(bb.comments) else ""
+                rg = comment[3:] if comment.startswith("RG:") else ""
                 rows.append(
                     _PairRow(
                         name=bb.names[i],
@@ -148,16 +240,21 @@ def align_fastq(
                         aln=prim,
                         supp=supp,
                         tid=tid,
+                        rg=rg,
                     )
                 )
         n_reads += n * len(batches)
+        if cfg.checkpoint and (bi + 1) % cfg.checkpoint_every == 0:
+            _save_ckpt(bi)
 
+    if os.path.exists(ckpt_path):
+        os.remove(ckpt_path)
     if distro is None:
         distro = InsertDistro(mean=300.0, std=100.0, low=50, high=700)
 
     header = SAMHeader.build(
         refs=list(zip(idx.names, idx.lengths)),
-        read_groups=[_rg_line(cfg)],
+        read_groups=rg_lines if rg_lines else [_rg_line(cfg)],
         sort_order="coordinate",
         programs=[f"@PG\tID:speedseq_tpu\tPN:speedseq_tpu\tVN:0.1.0"],
     )
@@ -377,7 +474,7 @@ def _pair_records(
         if a.aligned:
             tags += [("NM", "i", a.nm), ("MD", "Z", a.md), ("AS", "i", a.score),
                      ("XS", "i", a.sub_score)]
-        tags.append(("RG", "Z", cfg.rg_id))
+        tags.append(("RG", "Z", r.rg or cfg.rg_id))
         if mate is not None and mate.aln.aligned:
             # samblaster --addMateTags contract (bin/speedseq:439)
             tags.append(("MC", "Z", cigar_to_str(mate.aln.cigar)))
@@ -412,7 +509,7 @@ def _pair_records(
             sq = _cigar_qspan(r.supp.cigar)
             pb, pe = _orig_frame(pq[0], pq[1], a.strand, qlen)
             sb, se = _orig_frame(sq[0], sq[1], r.supp.strand, qlen)
-            split_ok = split_qualifies(pb, pe, sb, se)
+            split_ok = split_qualifies(pb, pe, sb, se, cfg.min_non_overlap)
         out.append((rec, split_ok, discordant))
 
         if has_split and split_ok:
@@ -426,7 +523,7 @@ def _pair_records(
             squal = r.qual if not r.supp.strand else r.qual[::-1]
             stags = [
                 ("NM", "i", r.supp.nm), ("MD", "Z", r.supp.md),
-                ("AS", "i", r.supp.score), ("RG", "Z", cfg.rg_id),
+                ("AS", "i", r.supp.score), ("RG", "Z", r.rg or cfg.rg_id),
                 (
                     "SA", "Z",
                     make_sa_tag(

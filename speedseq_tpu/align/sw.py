@@ -62,6 +62,203 @@ def _sub_scores(q: jnp.ndarray, r: jnp.ndarray, p: SWParams) -> jnp.ndarray:
     )
 
 
+def _pallas_ok() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+@functools.partial(jax.jit, static_argnames=("params", "max_ops"))
+def _traceback_packed(
+    dirs: jnp.ndarray,   # (Lq, N, Lr) uint8 packed direction bytes
+    bi: jnp.ndarray,     # (N,) best row (0-based)
+    bj: jnp.ndarray,     # (N,) best col (0-based)
+    params: SWParams = SWParams(),
+    max_ops: int = 48,
+):
+    """Batched traceback over the Pallas kernel's packed direction bytes.
+
+    bits 0-1: H source (0 stop/1 diag/2 ins/3 del); bit 2: I-run
+    continues upward; bit 3: D-run continues leftward.  Every iteration
+    consumes exactly one query or ref base → Lq+Lr bound.
+    """
+    Lq, N, Lr = dirs.shape
+    lanes = jnp.arange(N)
+    zvec = bi * 0
+    ops0 = jnp.full((N, max_ops), jnp.int8(-1)) + zvec[:, None].astype(jnp.int8)
+    lens0 = jnp.zeros((N, max_ops), jnp.int32) + zvec[:, None]
+
+    def body(_, state):
+        i, j, mode, kop, ops, lens, done = state
+        ii = jnp.clip(i, 0, Lq - 1)
+        jj = jnp.clip(j, 0, Lr - 1)
+        p = dirs[ii, lanes, jj].astype(jnp.int32)
+        d = p & 3
+        ve = (p >> 2) & 1
+        fe = (p >> 3) & 1
+        oob = (i < 0) | (j < 0)
+        d_eff = jnp.where(
+            mode == 1, 2, jnp.where(mode == 2, 3, jnp.where(oob, 0, d))
+        )
+        now_done = (d_eff == 0) | done
+        is_diag = (d_eff == 1) & ~now_done
+        is_vert = (d_eff == 2) & ~now_done
+        is_horiz = (d_eff == 3) & ~now_done
+        op = jnp.where(
+            is_diag, jnp.int8(OP_M),
+            jnp.where(is_vert, jnp.int8(OP_I), jnp.int8(OP_D)),
+        )
+        prev_k = jnp.clip(kop - 1, 0, max_ops - 1)
+        prev_op = ops[lanes, prev_k]
+        merge = (kop > 0) & (prev_op == op) & ~now_done
+        write_k = jnp.where(merge, prev_k, jnp.clip(kop, 0, max_ops - 1))
+        ops = ops.at[lanes, write_k].set(
+            jnp.where(now_done, ops[lanes, write_k], op)
+        )
+        lens = lens.at[lanes, write_k].add(jnp.where(now_done, 0, 1))
+        kop = jnp.where(now_done | merge, kop, kop + 1)
+        mode2 = jnp.where(
+            is_vert & (ve == 1), 1, jnp.where(is_horiz & (fe == 1), 2, 0)
+        )
+        i2 = jnp.where(is_diag | is_vert, i - 1, i)
+        j2 = jnp.where(is_diag | is_horiz, j - 1, j)
+        i2 = jnp.where(now_done, i, i2)
+        j2 = jnp.where(now_done, j, j2)
+        mode2 = jnp.where(now_done, mode, mode2)
+        return i2, j2, mode2, kop, ops, lens, now_done
+
+    state = (bi, bj, zvec, zvec, ops0, lens0, zvec > 0)
+    i_f, j_f, _, n_ops, ops, lens, _ = jax.lax.fori_loop(
+        0, Lq + Lr, body, state
+    )
+    idx = jnp.arange(max_ops)[None, :]
+    src = n_ops[:, None] - 1 - idx
+    src_c = jnp.clip(src, 0, max_ops - 1)
+    ops_f = jnp.where(src >= 0, jnp.take_along_axis(ops, src_c, axis=1), -1)
+    lens_f = jnp.where(src >= 0, jnp.take_along_axis(lens, src_c, axis=1), 0)
+    return i_f + 1, j_f + 1, ops_f.astype(jnp.int8), lens_f, n_ops
+
+
+def banded_sw_pallas(
+    query: jnp.ndarray,
+    qlen: jnp.ndarray,
+    ref: jnp.ndarray,
+    params: SWParams = SWParams(),
+    max_ops: int = 48,
+    interpret: bool = False,
+) -> SWResult:
+    """Pallas-accelerated banded_sw (same contract; one DP launch)."""
+    from ..ops.sw_pallas import sw_pallas
+
+    p = (params.match, params.mismatch, params.gap_open, params.gap_ext)
+    score, qend, rend, gscore, grend, dirs = sw_pallas(
+        query, qlen, ref, params=p, with_dirs=True, interpret=interpret
+    )
+    qbeg, rbeg, ops, lens, n_ops = _traceback_packed(
+        dirs, qend - 1, rend - 1, params=params, max_ops=max_ops
+    )
+    return SWResult(
+        score=score, qbeg=qbeg, qend=qend, rbeg=rbeg, rend=rend,
+        cigar_ops=ops, cigar_len=lens, n_ops=n_ops,
+        gscore=gscore, grend=grend,
+    )
+
+
+def banded_sw_score_pallas(
+    query: jnp.ndarray,
+    qlen: jnp.ndarray,
+    ref: jnp.ndarray,
+    params: SWParams = SWParams(),
+    interpret: bool = False,
+) -> "SWScore":
+    from ..ops.sw_pallas import sw_pallas
+
+    p = (params.match, params.mismatch, params.gap_open, params.gap_ext)
+    score, qend, rend, gscore, grend = sw_pallas(
+        query, qlen, ref, params=p, with_dirs=False, interpret=interpret
+    )
+    return SWScore(score=score, qend=qend, rend=rend, gscore=gscore, grend=grend)
+
+
+class SWScore(NamedTuple):
+    score: jnp.ndarray    # (N,) best local score
+    qend: jnp.ndarray     # (N,) query end (exclusive) of the best cell
+    rend: jnp.ndarray     # (N,) ref end (exclusive)
+    gscore: jnp.ndarray   # (N,) best score in the last query row
+    grend: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def banded_sw_score(
+    query: jnp.ndarray,   # (N, Lq) int32 codes
+    qlen: jnp.ndarray,    # (N,) int32
+    ref: jnp.ndarray,     # (N, Lr) int32 codes
+    params: SWParams = SWParams(),
+) -> SWScore:
+    """Score-only local SW: same DP as banded_sw but carries only running
+    maxima — no per-cell materialization, so it is the cheap first pass
+    over all candidate chains."""
+    N, Lq = query.shape
+    Lr = ref.shape[1]
+    p = params
+    oe = p.gap_open + p.gap_ext
+    qmask = jnp.arange(Lq)[None, :] < qlen[:, None]
+    ecol = jnp.arange(Lr, dtype=jnp.int32)[None, :]
+    zc = (qlen * 0)[:, None]
+    H0 = jnp.zeros((N, Lr + 1), jnp.int32) + zc
+    V0 = jnp.full((N, Lr + 1), NEG) + zc
+    zv = qlen * 0
+    best0 = (zv, zv, zv)          # score, qend, rend
+    glast0 = (zv, zv)             # gscore, grend
+
+    def row(carry, xs):
+        Hp, Vp, best, glast, i = carry
+        qc, is_valid_row = xs
+        sub = _sub_scores(qc[:, None], ref, p)
+        diag = sub + Hp[:, :-1]
+        V = jnp.maximum(Vp[:, 1:] - p.gap_ext, Hp[:, 1:] - oe)
+        Ht = jnp.maximum(jnp.maximum(diag, V), 0)
+        g = Ht + p.gap_ext * ecol
+        run = jax.lax.associative_scan(jnp.maximum, g * Lr + ecol, axis=1)
+        run_ex = jnp.concatenate(
+            [jnp.full((N, 1), -1, jnp.int32), run[:, :-1]], axis=1
+        )
+        gmax = jnp.where(run_ex >= 0, run_ex // Lr, NEG)
+        F = gmax - p.gap_open - p.gap_ext * ecol
+        H = jnp.maximum(Ht, F)
+        H = jnp.where(is_valid_row[:, None], H, 0)
+        V = jnp.where(is_valid_row[:, None], V, NEG)
+        rowmax_j = jnp.argmax(H, axis=1).astype(jnp.int32)
+        rowmax = jnp.take_along_axis(H, rowmax_j[:, None], axis=1)[:, 0]
+        bs, bq, br = best
+        better = rowmax > bs
+        best2 = (
+            jnp.where(better, rowmax, bs),
+            jnp.where(better, i + 1, bq),
+            jnp.where(better, rowmax_j + 1, br),
+        )
+        is_last = i == qlen - 1
+        gs, gr = glast
+        glast2 = (
+            jnp.where(is_last, rowmax, gs),
+            jnp.where(is_last, rowmax_j + 1, gr),
+        )
+        Hn = jnp.concatenate([jnp.zeros((N, 1), jnp.int32) + zc, H], axis=1)
+        Vn = jnp.concatenate([jnp.full((N, 1), NEG) + zc, V], axis=1)
+        return (Hn, Vn, best2, glast2, i + 1), None
+
+    (_, _, best, glast, _), _ = jax.lax.scan(
+        row, (H0, V0, best0, glast0, jnp.int32(0)), (query.T, qmask.T)
+    )
+    return SWScore(
+        score=best[0], qend=best[1], rend=best[2],
+        gscore=glast[0], grend=glast[1],
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("params", "max_ops"))
 def banded_sw(
     query: jnp.ndarray,   # (N, Lq) int32 codes (4 = N / padding)

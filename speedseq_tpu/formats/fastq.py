@@ -69,6 +69,9 @@ def iter_records(path: str) -> Iterator[Tuple[str, str, bytes, bytes]]:
                 raise ValueError("malformed FASTQ record")
             parts = hdr[1:].split(None, 1)
             name = parts[0].decode()
+            # bwa strips trailing /1 /2 mate markers from read names
+            if len(name) > 2 and name[-2] == "/" and name[-1] in "12":
+                name = name[:-2]
             comment = parts[1].decode() if len(parts) > 1 else ""
             yield name, comment, seq, qual
 

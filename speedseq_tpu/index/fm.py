@@ -46,6 +46,8 @@ class FMIndex(NamedTuple):
     sa_mark: jnp.ndarray      # (ceil((seq_len+1)/32),) uint32 bitmap, LSB-first
     sa_ckpt: jnp.ndarray      # same shape int32 — marked ranks in [0, 32w)
     sa_vals: jnp.ndarray      # (n_marked_pad,) int32 — SA values of marks
+    sa_dense: Optional[jnp.ndarray]  # (seq_len+1,) int32 full SA (small
+    # genomes only: one gather replaces the 32-step LF walk)
     ref: jnp.ndarray          # (l_pac_pad,) uint8 forward reference 0-3
     primary: jnp.ndarray      # () int32
     seq_len: jnp.ndarray      # () int32 = 2 * l_pac
@@ -57,6 +59,7 @@ class FMIndex(NamedTuple):
         idx: BWAIndex,
         sa_full: Optional[np.ndarray] = None,
         ref_pad_to: int = 128,
+        dense_sa_max: int = 1 << 25,   # ≤ 32M ranks → keep the full SA
     ) -> "FMIndex":
         """Build device arrays from a BWAIndex.
 
@@ -88,6 +91,11 @@ class FMIndex(NamedTuple):
         l_pad = ((l_pac + ref_pad_to - 1) // ref_pad_to) * ref_pad_to
         ref = np.full(max(l_pad, ref_pad_to), 4, dtype=np.uint8)
         ref[:l_pac] = idx.pac
+        sa_dense = (
+            jnp.asarray(sa_full.astype(np.int32))
+            if n_ranks <= dense_sa_max
+            else None
+        )
         return cls(
             count=jnp.asarray(1 + idx.L2[:4], dtype=jnp.int32),
             occ_ckpt=jnp.asarray(idx.occ, dtype=jnp.int32),
@@ -95,6 +103,7 @@ class FMIndex(NamedTuple):
             sa_mark=jnp.asarray(sa_mark),
             sa_ckpt=jnp.asarray(sa_ckpt),
             sa_vals=jnp.asarray(sa_vals),
+            sa_dense=sa_dense,
             ref=jnp.asarray(ref),
             primary=jnp.int32(idx.primary),
             seq_len=jnp.int32(n),
@@ -249,10 +258,14 @@ def forward_ext(fm: FMIndex, iv: BiInterval, c: jnp.ndarray) -> BiInterval:
 def sa_lookup(fm: FMIndex, r: jnp.ndarray) -> jnp.ndarray:
     """SA value (position in the 2*l_pac FMD text) of rank r.
 
-    Fixed 32-iteration LF walk: every 32nd *text position* is marked, and
+    Fast path: small genomes carry the full SA (one gather).  Fallback:
+    fixed 32-iteration LF walk — every 32nd *text position* is marked and
     each LF step decrements the suffix position, so a mark is guaranteed
     within SA_POS_INTV steps.  r: (...,) int32 in [1, seq_len]; vectorized.
     """
+    if fm.sa_dense is not None:
+        return fm.sa_dense[jnp.clip(r, 0, fm.seq_len)]
+
 
     def is_marked(rr):
         w = fm.sa_mark[rr // 32]

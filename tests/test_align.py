@@ -215,3 +215,64 @@ def test_sv_reads_produce_splitters_and_discordants(genome, tmp_path):
 
     counts = Counter(r.qname for r in spl)
     assert max(counts.values()) <= 2
+
+
+def test_pallas_sw_matches_jax_interpret():
+    """The Pallas DP kernel (interpret mode) must match the XLA reference
+    on scores, endpoints, and produce path-consistent cigars."""
+    import jax.numpy as jnp
+    from speedseq_tpu.align.sw import (
+        SWParams, banded_sw, banded_sw_pallas, banded_sw_score,
+        banded_sw_score_pallas,
+    )
+
+    rng = np.random.default_rng(21)
+    N, Lq, Lr = 16, 32, 128
+    qs, rs = [], []
+    for n in range(N):
+        ref = rng.integers(0, 4, Lr)
+        q = ref[9 : 9 + Lq].copy()
+        if n % 4 == 1:
+            q[10] = (q[10] + 1) % 4
+        if n % 4 == 2:
+            q = np.concatenate([q[:12], q[15:], rng.integers(0, 4, 3)])[:Lq]
+        if n % 4 == 3:
+            q = np.concatenate([q[:12], rng.integers(0, 4, 2), q[12:]])[:Lq]
+        qs.append(q[:Lq])
+        rs.append(ref)
+    qs = np.stack(qs).astype(np.int32)
+    rs = np.stack(rs).astype(np.int32)
+    qlen = jnp.full(N, Lq, jnp.int32)
+    ref_sc = banded_sw_score(jnp.asarray(qs), qlen, jnp.asarray(rs))
+    pal_sc = banded_sw_score_pallas(jnp.asarray(qs), qlen, jnp.asarray(rs),
+                                    interpret=True)
+    assert np.array_equal(np.asarray(pal_sc.score), np.asarray(ref_sc.score))
+    assert np.array_equal(np.asarray(pal_sc.qend), np.asarray(ref_sc.qend))
+    assert np.array_equal(np.asarray(pal_sc.rend), np.asarray(ref_sc.rend))
+    assert np.array_equal(np.asarray(pal_sc.gscore), np.asarray(ref_sc.gscore))
+
+    full = banded_sw_pallas(jnp.asarray(qs), qlen, jnp.asarray(rs),
+                            interpret=True)
+    p = SWParams()
+    for n in range(N):
+        ops = np.asarray(full.cigar_ops[n])
+        lens = np.asarray(full.cigar_len[n])
+        k = int(full.n_ops[n])
+        sc, qi, ri = 0, int(full.qbeg[n]), int(full.rbeg[n])
+        for o, l in zip(ops[:k], lens[:k]):
+            l = int(l)
+            if o == 0:
+                sc += sum(
+                    p.match if qs[n][qi + t] == rs[n][ri + t] else -p.mismatch
+                    for t in range(l)
+                )
+                qi += l
+                ri += l
+            elif o == 1:
+                sc -= p.gap_open + p.gap_ext * l
+                qi += l
+            elif o == 2:
+                sc -= p.gap_open + p.gap_ext * l
+                ri += l
+        assert sc == int(full.score[n])
+        assert qi == int(full.qend[n]) and ri == int(full.rend[n])

@@ -1,0 +1,161 @@
+"""Auxiliary subsystem tests: vawk-equivalent filtering, prefetch buffer,
+checkpoint/resume, realign, CLI surface, config."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from speedseq_tpu.formats.fasta import FastaFile, decode_bases
+from speedseq_tpu.formats.vcf import VCFRecord
+from speedseq_tpu.formats.vcf_filter import compile_filter, filter_records
+from speedseq_tpu.formats.bam import read_bam
+from speedseq_tpu.utils.prefetch import prefetch, StageTimer
+from speedseq_tpu.utils import sim
+from speedseq_tpu.align.pipeline import AlignConfig, align_fastq
+from speedseq_tpu.align.realign import realign, read_groups_by_library
+from speedseq_tpu.config import SpeedseqConfig
+
+REF = "/root/reference/example/data/human_g1k_v37_20_42220611-42542245.fasta"
+
+
+def _rec(qual=50.0, info=None, samples=None, fmt=None):
+    return VCFRecord(
+        chrom="c", pos=9, id=".", ref="A", alt=["T"], qual=qual, filter=".",
+        info=info or {}, format=fmt or [], samples=samples or [],
+    )
+
+
+def test_vawk_filter_reference_expression():
+    # the exact speedseq var filter expression (bin/speedseq:709)
+    pred = compile_filter("$6>=1 && I$RPR>0 && I$RPL>0")
+    assert pred(_rec(qual=5, info={"RPR": 3, "RPL": 2}))
+    assert not pred(_rec(qual=0.5, info={"RPR": 3, "RPL": 2}))
+    assert not pred(_rec(qual=5, info={"RPR": 0, "RPL": 2}))
+    assert not pred(_rec(qual=5, info={}))  # missing → 0 (awk semantics)
+
+
+def test_vawk_filter_samples_and_arith():
+    pred = compile_filter("S$0$DP > 10 && $2 == 10")
+    r = _rec(fmt=["DP"], samples=[{"DP": "30"}])
+    assert pred(r)
+    r2 = _rec(fmt=["DP"], samples=[{"DP": "5"}])
+    assert not pred(r2)
+    # flags count as 1
+    pred2 = compile_filter("I$IMPRECISE == 1")
+    assert pred2(_rec(info={"IMPRECISE": True}))
+    assert not pred2(_rec(info={}))
+    # comma-lists use the first element (awk-ish)
+    pred3 = compile_filter("I$AO >= 7")
+    assert pred3(_rec(info={"AO": "7,2"}))
+
+
+def test_vawk_filter_rejects_garbage():
+    with pytest.raises(ValueError):
+        compile_filter("__import__('os')")
+    with pytest.raises(ValueError):
+        compile_filter("$6 >= 1; DROP")
+
+
+def test_prefetch_order_and_errors():
+    assert list(prefetch(iter(range(100)), depth=3)) == list(range(100))
+
+    def boom():
+        yield 1
+        raise RuntimeError("io failed")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError):
+        next(it)
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("x", items=10):
+        pass
+    assert "x" in t.report()
+
+
+@pytest.fixture(scope="module")
+def small_run(tmp_path_factory):
+    d = tmp_path_factory.mktemp("aux")
+    g = FastaFile(REF).fetch_encoded("20_slice")
+    names, s1, q1, s2, q2, truth = sim.simulate_pairs(g, 60, read_len=100, seed=41)
+    sim.to_fastq(str(d / "a1.fq"), str(d / "a2.fq"), names, s1, q1, s2, q2)
+    return d, truth
+
+
+def test_checkpoint_resume(small_run):
+    d, truth = small_run
+    cfg = AlignConfig(batch_size=32, checkpoint=True, checkpoint_every=1)
+    outs = align_fastq(REF, str(d / "a1.fq"), str(d / "a2.fq"),
+                       out_prefix=str(d / "ck"), config=cfg)
+    # journal cleaned up on success
+    assert not os.path.exists(str(d / "ck") + ".align.ckpt")
+    hdr, recs = read_bam(outs["bam"])
+    assert len(recs) >= 120
+
+
+def test_realign_roundtrip(small_run):
+    d, truth = small_run
+    cfg = AlignConfig(batch_size=64, rg_string="@RG\\tID:rg9\\tSM:NA\\tLB:L9")
+    outs = align_fastq(REF, str(d / "a1.fq"), str(d / "a2.fq"),
+                       out_prefix=str(d / "orig"), config=cfg)
+    routs = realign(REF, [outs["bam"]], str(d / "re"),
+                    config=AlignConfig(batch_size=64))
+    hdr, orig = read_bam(outs["bam"])
+    hdr2, re_recs = read_bam(routs["bam"])
+    # same primary placements after realignment
+    def prim_pos(recs):
+        return {
+            (r.qname, r.flag & 0xC0): (r.tid, r.pos)
+            for r in recs if not (r.flag & 0x900)
+        }
+    a, b = prim_pos(orig), prim_pos(re_recs)
+    same = sum(1 for k in a if b.get(k) == a[k])
+    assert same / len(a) >= 0.98
+    # read groups carried through (bamheadrg semantics)
+    assert any("rg9" in l for l in hdr2.text.splitlines() if l.startswith("@RG"))
+    assert all(r.get_tag("RG") == "rg9" for r in re_recs[:10])
+
+
+def test_rg_library_grouping():
+    txt = "@RG\tID:a\tSM:s\tLB:l1\n@RG\tID:b\tSM:s\tLB:l1\n@RG\tID:c\tSM:s\tLB:l2"
+    libs = read_groups_by_library(txt)
+    assert libs == {"l1": ["a", "b"], "l2": ["c"]}
+
+
+def test_config_load(tmp_path):
+    p = str(tmp_path / "ss.config")
+    with open(p, "w") as fh:
+        fh.write("# comment\nTHREADS=8\nBATCH_SIZE=256\nVERBOSE=true\n"
+                 "ANNOTATIONS_DIR=/tmp/ann\nUNKNOWN_KEY=zzz\n")
+    cfg = SpeedseqConfig.load(p)
+    assert cfg.threads == 8 and cfg.batch_size == 256 and cfg.verbose
+    assert cfg.annotations_dir == "/tmp/ann"
+    with pytest.raises(FileNotFoundError):
+        SpeedseqConfig.load("/nonexistent/path")
+    default = SpeedseqConfig.load(None)
+    assert default.windows_bed is None
+    assert default.default_windows() and os.path.exists(default.default_windows())
+
+
+def test_cli_help_and_dispatch():
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""))
+    out = subprocess.run(
+        [sys.executable, "-m", "speedseq_tpu", "--help"],
+        capture_output=True, text=True, env=env,
+    )
+    assert out.returncode == 0
+    for sub in ("align", "var", "somatic", "sv", "realign"):
+        assert sub in out.stdout
+    # align requires -R (reference contract: "required")
+    out2 = subprocess.run(
+        [sys.executable, "-m", "speedseq_tpu", "align", "x.fa", "y.fq"],
+        capture_output=True, text=True, env=env,
+    )
+    assert out2.returncode == 1 and "-R" in out2.stderr

@@ -128,7 +128,9 @@ def test_fastq_gz_and_interleaved(tmp_path):
     batches = list(fastq.iter_batches(p, batch_size=8, interleaved=True))
     r1, r2 = batches[0]
     assert r1.n == r2.n == 3
-    assert r1.names == ["frag0/1", "frag1/1", "frag2/1"]
+    # /1 and /2 mate markers are stripped (bwa read-name semantics)
+    assert r1.names == ["frag0", "frag1", "frag2"]
+    assert r2.names == ["frag0", "frag1", "frag2"]
 
 
 # --------------------------------------------------------------------- SAM
