@@ -1,0 +1,425 @@
+// speedseq-tpu native runtime: htslib-equivalent host-side hot paths.
+//
+// The reference pipeline's host-side native code is htslib's BGZF layer
+// (src/samtools-1.3.1/htslib-1.3.1/bgzf.c: block deflate, the bgzf_mt
+// thread-pool writer at bgzf.c:781-812) and the BAM record codec
+// (src/.../sam.c:407,443 bam_read1/bam_write1 over the bam1_t layout,
+// htslib/sam.h:148-181).  This library re-implements those behaviors as a
+// C ABI shared object consumed via ctypes (speedseq_tpu/native/__init__.py).
+// Byte-exactness: deflate uses zlib raw streams at the same level as the
+// Python fallback, so outputs are bit-identical either way.
+//
+// NOT a copy of htslib: fresh implementation against the format contract
+// documented in SURVEY.md §2.2 #1.
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+constexpr int64_t kBlockSize = 0xff00;  // BGZF_BLOCK_SIZE, htslib/bgzf.h:43
+constexpr int64_t kMaxCBlock = 0x10000; // compressed block hard cap (u16 BSIZE)
+constexpr int kHeaderLen = 12;          // gzip hdr + XLEN
+constexpr int kFixedOverhead = 18 + 8;  // full header (incl BC/BSIZE) + CRC/ISIZE
+
+const uint8_t kBgzfHeader[18] = {
+    0x1f, 0x8b, 0x08, 0x04,             // magic, CM=deflate, FLG=FEXTRA
+    0x00, 0x00, 0x00, 0x00,             // MTIME
+    0x00, 0xff,                         // XFL, OS
+    0x06, 0x00,                         // XLEN = 6
+    'B', 'C', 0x02, 0x00,               // subfield BC, len 2
+    0x00, 0x00,                         // BSIZE-1 placeholder
+};
+
+const uint8_t kBgzfEof[28] = {
+    0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff, 0x06, 0x00,
+    0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00, 0x00, 0x00, 0x00, 0x00,
+    0x00, 0x00, 0x00, 0x00,
+};
+
+// Minimal run-to-completion parallel-for: spawn min(nthreads, njobs) workers
+// pulling block indices off an atomic counter.  Threads are cheap relative
+// to multi-MB deflate batches; no persistent pool state to manage across
+// ctypes calls.
+void parallel_for(int64_t n, int nthreads, const std::function<void(int64_t)>& fn) {
+  if (n <= 0) return;
+  if (nthreads < 1) nthreads = 1;
+  int workers = static_cast<int>(n < nthreads ? n : nthreads);
+  if (workers == 1) {
+    for (int64_t i = 0; i < n; ++i) fn(i);
+    return;
+  }
+  std::atomic<int64_t> next(0);
+  std::vector<std::thread> ts;
+  ts.reserve(workers);
+  for (int w = 0; w < workers; ++w) {
+    ts.emplace_back([&]() {
+      for (;;) {
+        int64_t i = next.fetch_add(1);
+        if (i >= n) return;
+        fn(i);
+      }
+    });
+  }
+  for (auto& t : ts) t.join();
+}
+
+// Deflate one payload into a complete BGZF block at dst; returns block size
+// or -1.  Matches bgzf_compress (bgzf.c): raw deflate, CRC32 + ISIZE footer.
+int64_t compress_block(const uint8_t* src, int64_t n, int level, uint8_t* dst) {
+  if (n > kBlockSize) return -1;
+  std::memcpy(dst, kBgzfHeader, sizeof(kBgzfHeader));
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) != Z_OK)
+    return -1;
+  zs.next_in = const_cast<Bytef*>(src);
+  zs.avail_in = static_cast<uInt>(n);
+  zs.next_out = dst + sizeof(kBgzfHeader);
+  zs.avail_out = static_cast<uInt>(kMaxCBlock - sizeof(kBgzfHeader) - 8);
+  int ret = deflate(&zs, Z_FINISH);
+  int64_t clen = static_cast<int64_t>(zs.total_out);
+  deflateEnd(&zs);
+  if (ret != Z_STREAM_END) return -1;
+  int64_t bsize = clen + kFixedOverhead;
+  if (bsize > kMaxCBlock) return -1;
+  dst[16] = static_cast<uint8_t>((bsize - 1) & 0xff);
+  dst[17] = static_cast<uint8_t>(((bsize - 1) >> 8) & 0xff);
+  uint32_t crc = static_cast<uint32_t>(crc32(0L, src, static_cast<uInt>(n)));
+  uint8_t* foot = dst + sizeof(kBgzfHeader) + clen;
+  uint32_t isize = static_cast<uint32_t>(n);
+  std::memcpy(foot, &crc, 4);
+  std::memcpy(foot + 4, &isize, 4);
+  return bsize;
+}
+
+// Parse one BGZF block header at src; returns BSIZE (total compressed block
+// length) or -1 on malformed input.
+int64_t block_bsize(const uint8_t* src, int64_t avail) {
+  if (avail < 18) return -1;
+  if (src[0] != 0x1f || src[1] != 0x8b || src[2] != 0x08 || src[3] != 0x04)
+    return -1;
+  int xlen = src[10] | (src[11] << 8);
+  if (avail < kHeaderLen + xlen + 8) return -1;
+  int off = kHeaderLen;
+  int end = kHeaderLen + xlen;
+  while (off + 4 <= end) {
+    int si1 = src[off], si2 = src[off + 1];
+    int slen = src[off + 2] | (src[off + 3] << 8);
+    if (si1 == 'B' && si2 == 'C' && slen == 2 && off + 6 <= end)
+      return (src[off + 4] | (src[off + 5] << 8)) + 1;
+    off += 4 + slen;
+  }
+  return -1;
+}
+
+}  // namespace
+
+extern "C" {
+
+int ssq_version() { return 1; }
+
+// Upper bound on BGZF output size for n input bytes (incl. EOF marker).
+int64_t ssq_bgzf_compress_bound(int64_t n) {
+  int64_t nblocks = (n + kBlockSize - 1) / kBlockSize;
+  if (nblocks == 0) nblocks = 1;
+  // worst case per block: stored deflate ~ n + n/16k*5 + 64; cap at kMaxCBlock
+  return nblocks * kMaxCBlock + sizeof(kBgzfEof);
+}
+
+// Multithreaded BGZF compression of a whole buffer (bgzf_mt equivalent,
+// bgzf.c:781-812).  Output is byte-identical to sequential zlib compression
+// of the same 65280-byte block split.  Returns bytes written or -1.
+int64_t ssq_bgzf_compress(const uint8_t* src, int64_t n, int level,
+                          int nthreads, uint8_t* dst, int64_t dst_cap,
+                          int add_eof) {
+  int64_t nblocks = (n + kBlockSize - 1) / kBlockSize;
+  std::vector<std::vector<uint8_t>> blocks(static_cast<size_t>(nblocks));
+  std::atomic<bool> failed(false);
+  parallel_for(nblocks, nthreads, [&](int64_t i) {
+    int64_t off = i * kBlockSize;
+    int64_t len = (off + kBlockSize <= n) ? kBlockSize : (n - off);
+    blocks[i].resize(kMaxCBlock);
+    int64_t bs = compress_block(src + off, len, level, blocks[i].data());
+    if (bs < 0) { failed.store(true); return; }
+    blocks[i].resize(static_cast<size_t>(bs));
+  });
+  if (failed.load()) return -1;
+  int64_t total = 0;
+  for (auto& b : blocks) total += static_cast<int64_t>(b.size());
+  if (add_eof) total += sizeof(kBgzfEof);
+  if (total > dst_cap) return -1;
+  uint8_t* p = dst;
+  for (auto& b : blocks) {
+    std::memcpy(p, b.data(), b.size());
+    p += b.size();
+  }
+  if (add_eof) {
+    std::memcpy(p, kBgzfEof, sizeof(kBgzfEof));
+    p += sizeof(kBgzfEof);
+  }
+  return p - dst;
+}
+
+// Scan a BGZF byte buffer: returns block count, fills (coffset, bsize, isize)
+// triples for up to max_blocks blocks.  Returns -1 on malformed input,
+// -(count) - 2 if max_blocks too small (caller re-allocates).
+int64_t ssq_bgzf_scan(const uint8_t* src, int64_t n, int64_t* coffsets,
+                      int64_t* bsizes, int64_t* isizes, int64_t max_blocks) {
+  int64_t off = 0, cnt = 0;
+  while (off < n) {
+    int64_t bs = block_bsize(src + off, n - off);
+    if (bs < 0 || off + bs > n) return -1;
+    if (cnt < max_blocks) {
+      coffsets[cnt] = off;
+      bsizes[cnt] = bs;
+      uint32_t isize;
+      std::memcpy(&isize, src + off + bs - 4, 4);
+      isizes[cnt] = isize;
+    }
+    ++cnt;
+    off += bs;
+  }
+  if (cnt > max_blocks) return -cnt - 2;
+  return cnt;
+}
+
+// Parallel inflate of a whole BGZF buffer (after ssq_bgzf_scan).  uoffsets
+// holds the running exclusive prefix sum of isizes (len nblocks).  Returns
+// total uncompressed bytes or -1.
+int64_t ssq_bgzf_decompress(const uint8_t* src, const int64_t* coffsets,
+                            const int64_t* bsizes, const int64_t* uoffsets,
+                            const int64_t* isizes, int64_t nblocks,
+                            int nthreads, uint8_t* dst, int64_t dst_cap) {
+  int64_t total = nblocks ? uoffsets[nblocks - 1] + isizes[nblocks - 1] : 0;
+  if (total > dst_cap) return -1;
+  std::atomic<bool> failed(false);
+  parallel_for(nblocks, nthreads, [&](int64_t i) {
+    const uint8_t* blk = src + coffsets[i];
+    int64_t bs = bsizes[i];
+    int xlen = blk[10] | (blk[11] << 8);
+    const uint8_t* cdata = blk + kHeaderLen + xlen;
+    int64_t clen = bs - kHeaderLen - xlen - 8;
+    uint32_t want_crc, want_isize;
+    std::memcpy(&want_crc, blk + bs - 8, 4);
+    std::memcpy(&want_isize, blk + bs - 4, 4);
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, -15) != Z_OK) { failed.store(true); return; }
+    zs.next_in = const_cast<Bytef*>(cdata);
+    zs.avail_in = static_cast<uInt>(clen);
+    zs.next_out = dst + uoffsets[i];
+    zs.avail_out = static_cast<uInt>(want_isize);
+    int ret = inflate(&zs, Z_FINISH);
+    uint64_t got = zs.total_out;
+    inflateEnd(&zs);
+    if ((ret != Z_STREAM_END && !(ret == Z_BUF_ERROR && want_isize == 0)) ||
+        got != want_isize) {
+      failed.store(true);
+      return;
+    }
+    uint32_t crc = static_cast<uint32_t>(
+        crc32(0L, dst + uoffsets[i], static_cast<uInt>(want_isize)));
+    if (crc != want_crc) failed.store(true);
+  });
+  return failed.load() ? -1 : total;
+}
+
+// ---------------------------------------------------------------------------
+// BAM record batch codec (bam1_t layout, htslib/sam.h:148-181).
+// Columnar in, concatenated block_size-prefixed records out.
+// ---------------------------------------------------------------------------
+
+// reg2bin, BAI 14/5 binning (SURVEY.md §2.2 #1; hts.c:1622 semantics).
+static inline int reg2bin(int64_t beg, int64_t end) {
+  --end;
+  if (beg >> 14 == end >> 14) return static_cast<int>(((1 << 15) - 1) / 7 + (beg >> 14));
+  if (beg >> 17 == end >> 17) return static_cast<int>(((1 << 12) - 1) / 7 + (beg >> 17));
+  if (beg >> 20 == end >> 20) return static_cast<int>(((1 << 9) - 1) / 7 + (beg >> 20));
+  if (beg >> 23 == end >> 23) return static_cast<int>(((1 << 6) - 1) / 7 + (beg >> 23));
+  if (beg >> 26 == end >> 26) return static_cast<int>(((1 << 3) - 1) / 7 + (beg >> 26));
+  return 0;
+}
+
+// 4-bit nucleotide codes indexed by ASCII (seq_nt16_table semantics).
+static uint8_t nt16_for_ascii(uint8_t c) {
+  switch (c) {
+    case '=': return 0;
+    case 'A': case 'a': return 1;  case 'C': case 'c': return 2;
+    case 'M': case 'm': return 3;  case 'G': case 'g': return 4;
+    case 'R': case 'r': return 5;  case 'S': case 's': return 6;
+    case 'V': case 'v': return 7;  case 'T': case 't': return 8;
+    case 'W': case 'w': return 9;  case 'Y': case 'y': return 10;
+    case 'H': case 'h': return 11; case 'K': case 'k': return 12;
+    case 'D': case 'd': return 13; case 'B': case 'b': return 14;
+    default:  return 15;  // N / anything else
+  }
+}
+
+// Exact byte size of the encoded batch (for caller allocation).
+int64_t ssq_bam_encode_size(int64_t n, const int64_t* qname_off,
+                            const int64_t* cigar_off, const int64_t* seq_off,
+                            const int64_t* aux_off) {
+  int64_t total = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t lqname = qname_off[i + 1] - qname_off[i];
+    int64_t ncig = cigar_off[i + 1] - cigar_off[i];
+    int64_t lseq = seq_off[i + 1] - seq_off[i];
+    int64_t laux = aux_off[i + 1] - aux_off[i];
+    total += 4 + 32 + (lqname + 1) + 4 * ncig + (lseq + 1) / 2 + lseq + laux;
+  }
+  return total;
+}
+
+// Encode n records.  Inputs are struct-of-arrays; variable-length fields are
+// concatenated blobs with n+1 exclusive-prefix offsets.  seq is ASCII bases
+// ('*' unstored records pass an empty seq slice with qual slice also empty —
+// then l_seq is written 0).  qual is raw phred (0xff run for missing).
+// ref_end[i] must be pos+ref_len(cigar) (pos+1 if unmapped/no cigar) — the
+// caller computes it; bin = reg2bin(pos, ref_end).  Returns bytes written.
+int64_t ssq_bam_encode(int64_t n, const int32_t* tid, const int32_t* pos,
+                       const int32_t* ref_end, const uint8_t* mapq,
+                       const uint16_t* flag, const int32_t* mtid,
+                       const int32_t* mpos, const int32_t* tlen,
+                       const uint8_t* qname_blob, const int64_t* qname_off,
+                       const uint32_t* cigar_blob, const int64_t* cigar_off,
+                       const uint8_t* seq_blob, const uint8_t* qual_blob,
+                       const int64_t* seq_off, const uint8_t* aux_blob,
+                       const int64_t* aux_off, uint8_t* dst, int64_t dst_cap) {
+  uint8_t* p = dst;
+  uint8_t* pend = dst + dst_cap;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t lqname = qname_off[i + 1] - qname_off[i];
+    int64_t ncig = cigar_off[i + 1] - cigar_off[i];
+    int64_t lseq = seq_off[i + 1] - seq_off[i];
+    int64_t laux = aux_off[i + 1] - aux_off[i];
+    int64_t body = 32 + (lqname + 1) + 4 * ncig + (lseq + 1) / 2 + lseq + laux;
+    if (p + 4 + body > pend) return -1;
+    uint32_t block_size = static_cast<uint32_t>(body);
+    std::memcpy(p, &block_size, 4); p += 4;
+    int32_t core[4] = {tid[i], pos[i],
+                       0,  // packed below
+                       0};
+    uint32_t bin_mq_nl = (static_cast<uint32_t>(reg2bin(pos[i], ref_end[i])) << 16) |
+                         (static_cast<uint32_t>(mapq[i]) << 8) |
+                         static_cast<uint32_t>(lqname + 1);
+    uint32_t flag_nc = (static_cast<uint32_t>(flag[i]) << 16) |
+                       static_cast<uint32_t>(ncig);
+    core[2] = static_cast<int32_t>(bin_mq_nl);
+    core[3] = static_cast<int32_t>(flag_nc);
+    std::memcpy(p, core, 16); p += 16;
+    int32_t lseq32 = static_cast<int32_t>(lseq);
+    std::memcpy(p, &lseq32, 4); p += 4;
+    std::memcpy(p, &mtid[i], 4); p += 4;
+    std::memcpy(p, &mpos[i], 4); p += 4;
+    std::memcpy(p, &tlen[i], 4); p += 4;
+    std::memcpy(p, qname_blob + qname_off[i], lqname); p += lqname;
+    *p++ = 0;
+    std::memcpy(p, cigar_blob + cigar_off[i], 4 * ncig); p += 4 * ncig;
+    const uint8_t* sq = seq_blob + seq_off[i];
+    for (int64_t j = 0; j + 1 < lseq; j += 2)
+      *p++ = static_cast<uint8_t>((nt16_for_ascii(sq[j]) << 4) |
+                                  nt16_for_ascii(sq[j + 1]));
+    if (lseq & 1) *p++ = static_cast<uint8_t>(nt16_for_ascii(sq[lseq - 1]) << 4);
+    std::memcpy(p, qual_blob + seq_off[i], lseq); p += lseq;
+    std::memcpy(p, aux_blob + aux_off[i], laux); p += laux;
+  }
+  return p - dst;
+}
+
+// Scan a concatenated BAM record blob: count records and total sizes of the
+// variable sections so the caller can allocate columnar outputs.
+// out_counts = {n, qname_bytes, cigar_ops, seq_bytes, aux_bytes}.
+int64_t ssq_bam_scan(const uint8_t* src, int64_t n, int64_t* out_counts) {
+  int64_t off = 0, cnt = 0, qn = 0, cg = 0, sq = 0, ax = 0;
+  while (off + 4 <= n) {
+    uint32_t bs;
+    std::memcpy(&bs, src + off, 4);
+    if (off + 4 + bs > static_cast<uint64_t>(n) || bs < 32) return -1;
+    const uint8_t* r = src + off + 4;
+    uint32_t bin_mq_nl, flag_nc;
+    int32_t lseq;
+    std::memcpy(&bin_mq_nl, r + 8, 4);
+    std::memcpy(&flag_nc, r + 12, 4);
+    std::memcpy(&lseq, r + 16, 4);
+    int lqname = bin_mq_nl & 0xff;
+    int ncig = flag_nc & 0xffff;
+    int64_t fixed = 32 + lqname + 4 * ncig + (lseq + 1) / 2 + lseq;
+    if (fixed > bs) return -1;
+    qn += lqname - 1;
+    cg += ncig;
+    sq += lseq;
+    ax += bs - fixed;
+    ++cnt;
+    off += 4 + bs;
+  }
+  if (off != n) return -1;
+  out_counts[0] = cnt; out_counts[1] = qn; out_counts[2] = cg;
+  out_counts[3] = sq; out_counts[4] = ax;
+  return cnt;
+}
+
+// Decode a concatenated BAM record blob into columnar arrays (inverse of
+// ssq_bam_encode; seq comes back as ASCII via "=ACMGRSVTWYHKDBN").
+int64_t ssq_bam_decode(const uint8_t* src, int64_t n, int32_t* tid,
+                       int32_t* pos, uint8_t* mapq, uint16_t* flag,
+                       int32_t* mtid, int32_t* mpos, int32_t* tlen,
+                       uint8_t* qname_blob, int64_t* qname_off,
+                       uint32_t* cigar_blob, int64_t* cigar_off,
+                       uint8_t* seq_blob, uint8_t* qual_blob, int64_t* seq_off,
+                       uint8_t* aux_blob, int64_t* aux_off) {
+  static const char kNt[] = "=ACMGRSVTWYHKDBN";
+  int64_t off = 0, i = 0, qn = 0, cg = 0, sq = 0, ax = 0;
+  qname_off[0] = cigar_off[0] = seq_off[0] = aux_off[0] = 0;
+  while (off + 4 <= n) {
+    uint32_t bs;
+    std::memcpy(&bs, src + off, 4);
+    const uint8_t* r = src + off + 4;
+    uint32_t bin_mq_nl, flag_nc;
+    std::memcpy(&tid[i], r, 4);
+    std::memcpy(&pos[i], r + 4, 4);
+    std::memcpy(&bin_mq_nl, r + 8, 4);
+    std::memcpy(&flag_nc, r + 12, 4);
+    int32_t lseq;
+    std::memcpy(&lseq, r + 16, 4);
+    std::memcpy(&mtid[i], r + 20, 4);
+    std::memcpy(&mpos[i], r + 24, 4);
+    std::memcpy(&tlen[i], r + 28, 4);
+    mapq[i] = (bin_mq_nl >> 8) & 0xff;
+    flag[i] = static_cast<uint16_t>(flag_nc >> 16);
+    int lqname = bin_mq_nl & 0xff;
+    int ncig = flag_nc & 0xffff;
+    const uint8_t* q = r + 32;
+    std::memcpy(qname_blob + qn, q, lqname - 1);
+    qn += lqname - 1;
+    q += lqname;
+    std::memcpy(cigar_blob + cg, q, 4 * ncig);
+    cg += ncig;
+    q += 4 * ncig;
+    for (int j = 0; j < lseq; ++j)
+      seq_blob[sq + j] = static_cast<uint8_t>(
+          kNt[(q[j / 2] >> ((j & 1) ? 0 : 4)) & 0xf]);
+    q += (lseq + 1) / 2;
+    std::memcpy(qual_blob + sq, q, lseq);
+    sq += lseq;
+    q += lseq;
+    int64_t laux = bs - (q - r);
+    std::memcpy(aux_blob + ax, q, laux);
+    ax += laux;
+    ++i;
+    qname_off[i] = qn; cigar_off[i] = cg; seq_off[i] = sq; aux_off[i] = ax;
+    off += 4 + bs;
+  }
+  return i;
+}
+
+}  // extern "C"

@@ -557,5 +557,4 @@ def sort_key(rec: SAMRecord) -> Tuple[int, int, int]:
 def _sort_and_write(records: List[SAMRecord], header: SAMHeader, path: str):
     order = sorted(range(len(records)), key=lambda i: sort_key(records[i]))
     with bam.BAMWriter(path, header) as w:
-        for i in order:
-            w.write(records[i])
+        w.write_batch([records[i] for i in order])

@@ -218,6 +218,13 @@ class BAMWriter:
     def write_raw(self, rec: bytes) -> None:
         self._w.write(struct.pack("<i", len(rec)) + rec)
 
+    def write_batch(self, records: List[SAMRecord]) -> None:
+        """Encode+write many records in one native call (byte-identical to
+        looping write(); csrc ssq_bam_encode fast path)."""
+        from .bam_cols import encode_batch
+
+        self._w.write(encode_batch(records))
+
     def close(self) -> None:
         self._w.close()
 
@@ -288,5 +295,4 @@ def read_bam(path: str) -> Tuple[SAMHeader, List[SAMRecord]]:
 
 def write_bam(path: str, header: SAMHeader, records: List[SAMRecord]) -> None:
     with BAMWriter(path, header) as w:
-        for r in records:
-            w.write(r)
+        w.write_batch(records)

@@ -39,6 +39,17 @@ BGZF_EOF = bytes.fromhex(
 )
 
 
+def _native():
+    """csrc/ssq_native.cc bindings (bgzf_mt-equivalent thread-pool codec),
+    or None when the toolchain is unavailable.  Byte-output is identical to
+    this module's pure-Python path either way."""
+    try:
+        from .. import native as _n
+    except Exception:
+        return None
+    return _n if _n.available() else None
+
+
 def _compress_block(data: bytes, level: int = 6) -> bytes:
     """Compress one ≤65280-byte payload into a complete BGZF block."""
     if len(data) > BGZF_BLOCK_SIZE:
@@ -59,7 +70,13 @@ def _compress_block(data: bytes, level: int = 6) -> bytes:
 
 
 class BGZFWriter:
-    """Streaming BGZF writer with htslib block-boundary semantics."""
+    """Streaming BGZF writer with htslib block-boundary semantics.
+
+    When the native runtime (csrc/ssq_native.cc) is available, complete
+    65280-byte blocks are accumulated and deflated in one multithreaded
+    call (htslib bgzf_mt equivalent, bgzf.c:781-812).  The block split —
+    and therefore the output bytes — is identical to the sequential path.
+    """
 
     def __init__(self, fileobj_or_path, level: int = 6):
         if isinstance(fileobj_or_path, (str, bytes)):
@@ -72,21 +89,40 @@ class BGZFWriter:
         self._coffset = 0  # compressed bytes emitted so far
         self.level = level
         self._closed = False
+        self._native = _native()
+        # batch whole blocks before compressing (native path only)
+        self._batch_bytes = (64 * BGZF_BLOCK_SIZE) if self._native else BGZF_BLOCK_SIZE
 
     @property
     def tell_virtual(self) -> int:
         """Current virtual file offset (coffset<<16 | uoffset)."""
+        self._drain_full_blocks()
         return (self._coffset << 16) | len(self._buf)
 
     def write(self, data: bytes) -> int:
         self._buf.extend(data)
-        while len(self._buf) >= BGZF_BLOCK_SIZE:
-            self._flush_block(BGZF_BLOCK_SIZE)
+        if len(self._buf) >= self._batch_bytes:
+            self._drain_full_blocks()
         return len(data)
 
     def flush(self) -> None:
+        self._drain_full_blocks()
         while self._buf:
             self._flush_block(min(len(self._buf), BGZF_BLOCK_SIZE))
+
+    def _drain_full_blocks(self) -> None:
+        n_full = (len(self._buf) // BGZF_BLOCK_SIZE) * BGZF_BLOCK_SIZE
+        if not n_full:
+            return
+        if self._native is not None:
+            out = self._native.bgzf_compress(
+                bytes(self._buf[:n_full]), level=self.level, add_eof=False)
+            del self._buf[:n_full]
+            self._fh.write(out)
+            self._coffset += len(out)
+        else:
+            while len(self._buf) >= BGZF_BLOCK_SIZE:
+                self._flush_block(BGZF_BLOCK_SIZE)
 
     def _flush_block(self, n: int) -> None:
         block = _compress_block(bytes(self._buf[:n]), self.level)
@@ -220,6 +256,9 @@ class BGZFReader:
 
 def compress(data: bytes, level: int = 6) -> bytes:
     """bgzip-equivalent: full-buffer BGZF compression incl. EOF marker."""
+    n = _native()
+    if n is not None:
+        return n.bgzf_compress(data, level=level, add_eof=True)
     out = io.BytesIO()
     with BGZFWriter(out, level=level) as w:
         w.write(data)
@@ -228,6 +267,9 @@ def compress(data: bytes, level: int = 6) -> bytes:
 
 def decompress(data: bytes) -> bytes:
     """Decompress a whole BGZF byte string."""
+    n = _native()
+    if n is not None:
+        return n.bgzf_decompress(data)
     return BGZFReader(io.BytesIO(data)).read()
 
 
