@@ -34,6 +34,9 @@ def main():
     idx = load_index(ref)
     fm = FMIndex.from_bwa(idx)
     fm = jax.device_put(fm)
+    from speedseq_tpu.index.kmer import build_kmer_index
+
+    kidx = jax.device_put(build_kmer_index(idx.pac))
 
     genome = FastaFile(ref).fetch_encoded("20_slice")
     B, L = 4096, 100
@@ -57,7 +60,8 @@ def main():
         scoring for both ends, joint pair selection, split detection,
         phase-2 extension — one dispatch, one host transfer."""
         res = fused_align_step(
-            fm, r1, l1, r2, l2, distro=distro, use_pallas=use_pallas
+            fm, r1, l1, r2, l2, distro=distro, use_pallas=use_pallas,
+            kidx=kidx
         )
         return np.asarray(res[0][0].score)
 

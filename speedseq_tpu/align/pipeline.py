@@ -66,6 +66,7 @@ class AlignConfig:
     checkpoint: bool = False   # per-batch checkpoint journal (new feature:
     resume: bool = False       # the reference has none, SURVEY.md §5)
     checkpoint_every: int = 8
+    seed_mode: str = "hash"    # "hash" (TPU-first k-mer index) | "fm"
     verbose: bool = False
 
     def __post_init__(self):
@@ -79,13 +80,18 @@ class AlignConfig:
             self.sample = d.get("SM", self.sample)
 
 
-def _load_fm(reference: str) -> Tuple[BWAIndex, FMIndex]:
+def _load_fm(reference: str, seed_mode: str = "hash"):
     # auto `bwa index` behavior (bin/speedseq:386-391)
     if not os.path.exists(reference + ".bwt"):
         idx = build_index(reference)
     else:
         idx = load_index(reference)
-    return idx, FMIndex.from_bwa(idx)
+    kidx = None
+    if seed_mode == "hash":
+        from ..index.kmer import build_kmer_index
+
+        kidx = build_kmer_index(idx.pac)
+    return idx, FMIndex.from_bwa(idx), kidx
 
 
 def _phred(q: np.ndarray, length: int) -> str:
@@ -138,8 +144,8 @@ def align_stream(
     bin/speedseq:1962); otherwise cfg.rg_id applies.
     """
     t0 = time.time()
-    idx, fm = _load_fm(reference)
     cfg = config
+    idx, fm, kidx = _load_fm(reference, cfg.seed_mode)
 
     rows1: List[_PairRow] = []
     rows2: List[_PairRow] = []
@@ -198,6 +204,7 @@ def align_stream(
             min_seed_len=cfg.min_seed_len,
             use_pallas=use_pallas,
             paired=is_paired_batch,
+            kidx=kidx,
         )
         if is_paired_batch and distro is None:
             distro = _estimate_distro(res[0][3], res[1][3], cfg)

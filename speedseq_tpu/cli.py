@@ -46,6 +46,7 @@ def _align_config(args, paired_required=True):
         max_split_count=getattr(args, "c", 2),
         min_non_overlap=getattr(args, "m", 20),
         insert_override=_parse_insert_override(args.I) if args.I else None,
+        seed_mode=getattr(args, "seed_mode", "hash"),
         verbose=args.v,
     )
 
@@ -186,6 +187,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("-k", action="store_true", help="keep temporary files")
         sp.add_argument(
             "--batch-size", type=int, default=512, help="device batch size"
+        )
+        sp.add_argument(
+            "--seed-mode", choices=["hash", "fm"], default="hash",
+            help="seeding structure: dense k-mer hash index (TPU-first) "
+            "or FM-index SMEM (bwa-equivalent, low memory)",
         )
 
     a = sub.add_parser("align", help="align FASTQ with BWA-MEM-equivalent + dedup")
