@@ -16,12 +16,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..index.fm import FMIndex, get_ref_window
+from ..index.fm import FMIndex, get_ref_window, get_ref_window_packed
 from .seeding import find_seeds
 from .chain import chain_seeds
 from .sw import banded_sw, SWParams, SWResult
 
-PAD = 48  # ref-window slack on each side of the chain anchor diagonal
+PAD = 44  # ref-window slack each side of the chain anchor diagonal
+# windows start 16-aligned (word-gather path, index.fm.get_ref_window_packed)
+# so W carries +16 alignment slack; W = L + 2*PAD + 16 ≤ 256 up to L=151
 
 
 class Candidates(NamedTuple):
@@ -39,6 +41,8 @@ class Candidates(NamedTuple):
     seed_cov: jnp.ndarray  # (B, K) chain weight (seed coverage)
     refwin: jnp.ndarray    # (B, K, W) uint8 ref window (for NM/MD on host)
     rstart: jnp.ndarray    # (B, K) int32 window genome start
+    nm: jnp.ndarray        # (B, K) int32 edit distance from the kernel
+    # traceback (-1 = unknown: host derives NM/MD from refwin)
 
 
 def revcomp_reads(reads: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
@@ -73,7 +77,7 @@ def align_candidates(
     )
     chains = chain_seeds(seeds, L, k=n_chains)
     K = n_chains
-    W = L + 2 * PAD
+    W = L + 2 * PAD + 16
 
     reads_rc = revcomp_reads(reads, lengths)
     strand = chains.strand  # (B, K)
@@ -81,8 +85,8 @@ def align_candidates(
     q_rc = jnp.broadcast_to(reads_rc[:, None, :], (B, K, L))
     queries = jnp.where(strand[..., None] == 1, q_rc, q_fwd).reshape(B * K, L)
 
-    rstart = chains.anchor_rpos - chains.anchor_qpos - PAD  # (B, K)
-    refwin = get_ref_window(fm, rstart.reshape(-1), W)  # (B*K, W)
+    rstart = ((chains.anchor_rpos - chains.anchor_qpos - PAD) >> 4) << 4
+    refwin = get_ref_window_packed(fm, rstart.reshape(-1), W)  # (B*K, W)
 
     qlen = jnp.broadcast_to(lengths[:, None], (B, K)).reshape(-1)
     sw = banded_sw(queries, qlen, refwin.astype(jnp.int32), params=params)
@@ -104,6 +108,7 @@ def align_candidates(
         seed_cov=chains.weight,
         refwin=refwin.reshape(B, K, W),
         rstart=rstart,
+        nm=jnp.full((B, K), -1, jnp.int32),
     )
 
 
@@ -166,14 +171,14 @@ def score_candidates(
         )
     chains = chain_seeds(seeds, L, k=n_chains)
     K = n_chains
-    W = L + 2 * PAD
+    W = L + 2 * PAD + 16
     reads_rc = revcomp_reads(reads, lengths)
     strand = chains.strand
     q_fwd = jnp.broadcast_to(reads[:, None, :], (B, K, L))
     q_rc = jnp.broadcast_to(reads_rc[:, None, :], (B, K, L))
     queries = jnp.where(strand[..., None] == 1, q_rc, q_fwd).reshape(B * K, L)
-    rstart = chains.anchor_rpos - chains.anchor_qpos - PAD
-    refwin = get_ref_window(fm, rstart.reshape(-1), W)
+    rstart = ((chains.anchor_rpos - chains.anchor_qpos - PAD) >> 4) << 4
+    refwin = get_ref_window_packed(fm, rstart.reshape(-1), W)
     qlen = jnp.broadcast_to(lengths[:, None], (B, K)).reshape(-1)
     if use_pallas:
         Wp = ((W + 127) // 128) * 128
@@ -218,13 +223,13 @@ def extend_candidates(
     B, L = reads.shape
     S = anchor_rpos.shape[1]
     reads = reads.astype(jnp.int32)
-    W = L + 2 * PAD
+    W = L + 2 * PAD + 16
     reads_rc = revcomp_reads(reads, lengths)
     q_fwd = jnp.broadcast_to(reads[:, None, :], (B, S, L))
     q_rc = jnp.broadcast_to(reads_rc[:, None, :], (B, S, L))
     queries = jnp.where(strand[..., None] == 1, q_rc, q_fwd).reshape(B * S, L)
-    rstart = anchor_rpos - anchor_qpos - PAD
-    refwin = get_ref_window(fm, rstart.reshape(-1), W)
+    rstart = ((anchor_rpos - anchor_qpos - PAD) >> 4) << 4
+    refwin = get_ref_window_packed(fm, rstart.reshape(-1), W)
     qlen = jnp.broadcast_to(lengths[:, None], (B, S)).reshape(-1)
     if use_pallas:
         from .sw import banded_sw_pallas
@@ -233,9 +238,12 @@ def extend_candidates(
         refp = jnp.pad(
             refwin.astype(jnp.int32), ((0, 0), (0, Wp - W)), constant_values=4
         )
-        sw = banded_sw_pallas(queries, qlen, refp, params=params)
+        sw, nm = banded_sw_pallas(queries, qlen, refp, params=params,
+                                  with_nm=True)
+        nm = nm.reshape(B, S)
     else:
         sw = banded_sw(queries, qlen, refwin.astype(jnp.int32), params=params)
+        nm = jnp.full((B, S), -1, jnp.int32)
     valid = (anchor_rpos >= 0).reshape(-1)
     score = jnp.where(valid, sw.score, 0).reshape(B, S)
     pos = (rstart.reshape(-1) + sw.rbeg).reshape(B, S)
@@ -253,6 +261,7 @@ def extend_candidates(
         seed_cov=jnp.zeros((B, S), jnp.int32),
         refwin=refwin.reshape(B, S, W),
         rstart=rstart,
+        nm=nm,
     )
 
 
@@ -582,8 +591,17 @@ def finalize_alignments(
     ops = np.asarray(cand.cigar_ops)
     lens = np.asarray(cand.cigar_len)
     n_ops = np.asarray(cand.n_ops)
-    refwin = np.asarray(cand.refwin)
-    rstart = np.asarray(cand.rstart)
+    knm = np.asarray(cand.nm)
+    # refwin is only transferred off-device when some lane lacks a kernel
+    # NM (non-pallas path) — the (B,K,W) window is the largest d2h payload
+    lazy: dict = {}
+
+    def _refwin():
+        if "rw" not in lazy:
+            lazy["rw"] = np.asarray(cand.refwin)
+            lazy["rs"] = np.asarray(cand.rstart)
+        return lazy["rw"], lazy["rs"]
+
     B = score.shape[0]
     unaligned = HostAlignment(-1, 0, 0, 0, 0, 0, [], 0, "", -1, False)
     out = []
@@ -597,14 +615,18 @@ def finalize_alignments(
                 ops[b, k], lens[b, k], int(n_ops[b, k]),
                 int(qbeg[b, k]), int(qend[b, k]), qlen,
             )
-            q = reads_np[b][:qlen].astype(np.int32)
-            if strand[b, k] == 1:
-                qr = q[::-1]
-                q = np.where(qr < 4, 3 - qr, 4)
-            nm, md = _nm_md(
-                [c for c in cig if c[0] != 4], q, refwin[b, k],
-                int(qbeg[b, k]), int(pos[b, k] - rstart[b, k]),
-            )
+            if knm[b, k] >= 0:
+                nm, md = int(knm[b, k]), ""
+            else:
+                refwin, rstart = _refwin()
+                q = reads_np[b][:qlen].astype(np.int32)
+                if strand[b, k] == 1:
+                    qr = q[::-1]
+                    q = np.where(qr < 4, 3 - qr, 4)
+                nm, md = _nm_md(
+                    [c for c in cig if c[0] != 4], q, refwin[b, k],
+                    int(qbeg[b, k]), int(pos[b, k] - rstart[b, k]),
+                )
             return HostAlignment(
                 pos=int(pos[b, k]), strand=int(strand[b, k]), score=s,
                 sub_score=sb, sub_n=sn, mapq=mapq, cigar=cig, nm=nm, md=md,
@@ -657,8 +679,15 @@ def select_alignments(
     ops = np.asarray(cand.cigar_ops)
     lens = np.asarray(cand.cigar_len)
     n_ops = np.asarray(cand.n_ops)
-    refwin = np.asarray(cand.refwin)
-    rstart = np.asarray(cand.rstart)
+    knm = np.asarray(cand.nm)
+    lazy: dict = {}
+
+    def _refwin():
+        if "rw" not in lazy:
+            lazy["rw"] = np.asarray(cand.refwin)
+            lazy["rs"] = np.asarray(cand.rstart)
+        return lazy["rw"], lazy["rs"]
+
     B, K = score.shape
 
     def finalize(b, k, qlen, sub, sub_n):
@@ -668,17 +697,21 @@ def select_alignments(
             ops[b, k], lens[b, k], int(n_ops[b, k]),
             int(qbeg[b, k]), int(qend[b, k]), qlen,
         )
-        q = reads_np[b][:qlen].astype(np.int32)
-        if strand[b, k] == 1:
-            qr = q[::-1]
-            q = np.where(qr < 4, 3 - qr, 4)
-        nm, md = _nm_md(
-            [c for c in cig if c[0] != 4],
-            q,
-            refwin[b, k],
-            int(qbeg[b, k]),
-            int(pos[b, k] - rstart[b, k]),
-        )
+        if knm[b, k] >= 0:
+            nm, md = int(knm[b, k]), ""
+        else:
+            refwin, rstart = _refwin()
+            q = reads_np[b][:qlen].astype(np.int32)
+            if strand[b, k] == 1:
+                qr = q[::-1]
+                q = np.where(qr < 4, 3 - qr, 4)
+            nm, md = _nm_md(
+                [c for c in cig if c[0] != 4],
+                q,
+                refwin[b, k],
+                int(qbeg[b, k]),
+                int(pos[b, k] - rstart[b, k]),
+            )
         return HostAlignment(
             pos=int(pos[b, k]), strand=int(strand[b, k]), score=s,
             sub_score=sub, sub_n=sub_n, mapq=mapq, cigar=cig, nm=nm, md=md,

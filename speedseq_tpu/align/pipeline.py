@@ -479,7 +479,10 @@ def _pair_records(
         qual = r.qual if not (a.aligned and a.strand) else r.qual[::-1]
         tags = []
         if a.aligned:
-            tags += [("NM", "i", a.nm), ("MD", "Z", a.md), ("AS", "i", a.score),
+            # MD only when the host computed it (bwa mem itself emits no MD;
+            # the pallas path reports NM from the traceback kernel)
+            tags += ([("MD", "Z", a.md)] if a.md else [])
+            tags += [("NM", "i", a.nm), ("AS", "i", a.score),
                      ("XS", "i", a.sub_score)]
         tags.append(("RG", "Z", r.rg or cfg.rg_id))
         if mate is not None and mate.aln.aligned:
@@ -529,7 +532,8 @@ def _pair_records(
             sseq = r.seq if not r.supp.strand else _revcomp_str(r.seq)
             squal = r.qual if not r.supp.strand else r.qual[::-1]
             stags = [
-                ("NM", "i", r.supp.nm), ("MD", "Z", r.supp.md),
+                ("NM", "i", r.supp.nm),
+                *([("MD", "Z", r.supp.md)] if r.supp.md else []),
                 ("AS", "i", r.supp.score), ("RG", "Z", r.rg or cfg.rg_id),
                 (
                     "SA", "Z",

@@ -149,22 +149,25 @@ def banded_sw_pallas(
     params: SWParams = SWParams(),
     max_ops: int = 48,
     interpret: bool = False,
-) -> SWResult:
-    """Pallas-accelerated banded_sw (same contract; one DP launch)."""
-    from ..ops.sw_pallas import sw_pallas
+    with_nm: bool = False,
+):
+    """Pallas-accelerated banded_sw: DP AND traceback in one launch
+    (ops/sw_pallas.py sw_pallas_cigar — the packed-dirs HBM round trip and
+    the Lq+Lr-step XLA traceback loop are gone).  With ``with_nm`` returns
+    (SWResult, nm) where nm is the edit distance along the path."""
+    from ..ops.sw_pallas import sw_pallas_cigar
 
     p = (params.match, params.mismatch, params.gap_open, params.gap_ext)
-    score, qend, rend, gscore, grend, dirs = sw_pallas(
-        query, qlen, ref, params=p, with_dirs=True, interpret=interpret
+    (score, qbeg, qend, rbeg, rend, gscore, grend, ops, lens, n_ops,
+     nm) = sw_pallas_cigar(
+        query, qlen, ref, params=p, max_ops=max_ops, interpret=interpret
     )
-    qbeg, rbeg, ops, lens, n_ops = _traceback_packed(
-        dirs, qend - 1, rend - 1, params=params, max_ops=max_ops
-    )
-    return SWResult(
+    res = SWResult(
         score=score, qbeg=qbeg, qend=qend, rbeg=rbeg, rend=rend,
-        cigar_ops=ops, cigar_len=lens, n_ops=n_ops,
+        cigar_ops=ops.astype(jnp.int8), cigar_len=lens, n_ops=n_ops,
         gscore=gscore, grend=grend,
     )
+    return (res, nm) if with_nm else res
 
 
 def banded_sw_score_pallas(

@@ -49,6 +49,8 @@ class FMIndex(NamedTuple):
     sa_dense: Optional[jnp.ndarray]  # (seq_len+1,) int32 full SA (small
     # genomes only: one gather replaces the 32-step LF walk)
     ref: jnp.ndarray          # (l_pac_pad,) uint8 forward reference 0-3
+    ref_pack: jnp.ndarray     # (ceil(l_pac/16),) uint32, 16 bases/word
+    # (LSB-first 2-bit codes) — word-gather path for ref windows
     primary: jnp.ndarray      # () int32
     seq_len: jnp.ndarray      # () int32 = 2 * l_pac
     l_pac: jnp.ndarray        # () int32
@@ -91,6 +93,12 @@ class FMIndex(NamedTuple):
         l_pad = ((l_pac + ref_pad_to - 1) // ref_pad_to) * ref_pad_to
         ref = np.full(max(l_pad, ref_pad_to), 4, dtype=np.uint8)
         ref[:l_pac] = idx.pac
+        nw = (l_pac + 15) // 16
+        codes16 = np.zeros(nw * 16, dtype=np.uint32)
+        codes16[:l_pac] = idx.pac & 3
+        ref_pack = np.zeros(nw, dtype=np.uint32)
+        for t in range(16):
+            ref_pack |= codes16[t::16] << np.uint32(2 * t)
         sa_dense = (
             jnp.asarray(sa_full.astype(np.int32))
             if n_ranks <= dense_sa_max
@@ -105,6 +113,7 @@ class FMIndex(NamedTuple):
             sa_vals=jnp.asarray(sa_vals),
             sa_dense=sa_dense,
             ref=jnp.asarray(ref),
+            ref_pack=jnp.asarray(ref_pack if nw else np.zeros(1, np.uint32)),
             primary=jnp.int32(idx.primary),
             seq_len=jnp.int32(n),
             l_pac=jnp.int32(l_pac),
@@ -306,3 +315,27 @@ def get_ref_window(fm: FMIndex, start: jnp.ndarray, length: int) -> jnp.ndarray:
     inb = (pos >= 0) & (pos < fm.l_pac)
     vals = fm.ref[jnp.clip(pos, 0, fm.ref.shape[0] - 1)]
     return jnp.where(inb, vals, jnp.uint8(4))
+
+
+def get_ref_window_packed(
+    fm: FMIndex, start16: jnp.ndarray, length: int
+) -> jnp.ndarray:
+    """Word-gather variant of get_ref_window for 16-aligned starts.
+
+    Gathers length/16 uint32 words (16 packed bases each) instead of
+    ``length`` bytes — ~16× less gather volume (gathers cost ~20 ns/element
+    on this TPU, docs/PERF_NOTES.md).  ``start16`` must be a multiple of 16;
+    out-of-range positions yield 4 as in get_ref_window.
+    """
+    nw = (length + 15) // 16
+    widx = start16[..., None] // 16 + jnp.arange(nw, dtype=jnp.int32)
+    words = fm.ref_pack[jnp.clip(widx, 0, fm.ref_pack.shape[0] - 1)]
+    sh = jnp.arange(16, dtype=jnp.uint32) * 2
+    codes = (
+        (words[..., None] >> sh) & jnp.uint32(3)
+    ).astype(jnp.uint8)                       # (..., nw, 16)
+    codes = codes.reshape(*start16.shape, nw * 16)[..., :length]
+    offs = jnp.arange(length, dtype=jnp.int32)
+    pos = start16[..., None] + offs
+    inb = (pos >= 0) & (pos < fm.l_pac)
+    return jnp.where(inb, codes, jnp.uint8(4))

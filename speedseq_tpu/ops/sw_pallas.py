@@ -140,6 +140,240 @@ def _mk_kernel(Lq: int, Lr: int, params, with_dirs: bool):
     return kernel
 
 
+def _mk_cigar_kernel(Lq: int, Lr: int, params, max_ops: int):
+    """DP + in-kernel traceback: directions stay in a VMEM scratch (never
+    HBM), the backtrack walk runs on the scalar core, and the cigar comes
+    out as SMEM scalars — one launch replaces the Lq+Lr-iteration XLA
+    traceback loop of align/sw.py:_traceback_packed (~190 ms → ~25 ms per
+    8k batch, docs/PERF_NOTES.md)."""
+    p_match, p_mis, p_open, p_ext = params
+    oe = p_open + p_ext
+
+    def kernel(qlen_ref, q_ref, ref_ref, score_ref, qend_ref, rend_ref,
+               gscore_ref, grend_ref, ops_ref, lens_ref, nops_ref,
+               qbeg_ref, rbeg_ref, nm_ref, dirs_ref):
+        ref = ref_ref[:].astype(jnp.int32)            # (8, Lr)
+
+        def splat(read_scalar):
+            row_id = jax.lax.broadcasted_iota(jnp.int32, (LANES, Lr), 0)
+            acc = jax.lax.broadcasted_iota(jnp.int32, (LANES, Lr), 1) * 0
+            for l in range(LANES):
+                acc = jnp.where(row_id == l, read_scalar(l), acc)
+            return acc
+
+        qlen_full = splat(lambda l: qlen_ref[l, 0])
+
+        def body(i, carry):
+            H = carry[0:LANES]
+            V = carry[LANES : 2 * LANES]
+            best = carry[2 * LANES : 3 * LANES]
+            gbest = carry[3 * LANES : 4 * LANES]
+            col = jax.lax.broadcasted_iota(jnp.int32, (LANES, Lr), 1)
+            qc = splat(lambda l: q_ref[l, i])
+            q_ok = qc < 4
+            r_ok = ref < 4
+            is_match = q_ok & r_ok & (ref == qc)
+            sub = jnp.where(
+                q_ok & r_ok,
+                jnp.where(ref == qc, p_match, -p_mis),
+                jnp.int32(-1),
+            )
+            Hs = pltpu.roll(H, 1, 1)
+            Hs = jnp.where(col == 0, 0, Hs)
+            diag = Hs + sub
+            Vn = jnp.maximum(V - p_ext, H - oe)
+            vext = (V - p_ext >= H - oe).astype(jnp.int32)
+            Ht = jnp.maximum(jnp.maximum(diag, Vn), 0)
+            m = Ht + p_ext * col
+            x = m
+            s = 1
+            while s < Lr:
+                xs = pltpu.roll(x, s, 1)
+                x = jnp.maximum(x, jnp.where(col >= s, xs, NEG))
+                s *= 2
+            pm = pltpu.roll(x, 1, 1)
+            pm = jnp.where(col == 0, NEG, pm)
+            F = pm - p_open - p_ext * col
+            Hn = jnp.maximum(Ht, F)
+            pm_prev = jnp.where(col == 0, NEG, pltpu.roll(pm, 1, 1))
+            fext = ((pm == pm_prev) & (col > 0)).astype(jnp.int32)
+            d = jnp.zeros_like(Hn)
+            d = jnp.where((Hn == F) & (Hn > 0), 3, d)
+            d = jnp.where((Hn == Vn) & (Hn > 0), 2, d)
+            d = jnp.where((Hn == diag) & (Hn > 0), 1, d)
+            packed = (
+                d | (vext << 2) | (fext << 3)
+                | ((~is_match).astype(jnp.int32) << 4)   # bit 4: mismatch
+            )
+            valid_row = i < qlen_full
+            Hn = jnp.where(valid_row, Hn, 0)
+            Vn = jnp.where(valid_row, Vn, NEG)
+            packed = jnp.where(valid_row, packed, 0)
+            dirs_ref[pl.ds(i, 1), :, :] = packed[None]
+            cand = (Hn * (Lq + 1) + (Lq - i)) * Lr + (Lr - 1 - col)
+            best = jnp.maximum(best, cand)
+            gpk = Hn * Lr + (Lr - 1 - col)
+            gbest = jnp.where(i == qlen_full - 1, gpk, gbest)
+            return jnp.concatenate([Hn, Vn, best, gbest], axis=0)
+
+        z = jax.lax.broadcasted_iota(jnp.int32, (LANES, Lr), 1) * 0
+        carry0 = jnp.concatenate([z, z + NEG, z, z], axis=0)
+        carry_f = jax.lax.fori_loop(0, Lq, body, carry0)
+        best = jnp.max(carry_f[2 * LANES : 3 * LANES], axis=1, keepdims=True)
+        gbest = jnp.max(carry_f[3 * LANES : 4 * LANES], axis=1, keepdims=True)
+        rem = best % ((Lq + 1) * Lr)
+        score_v = best // ((Lq + 1) * Lr)
+        qend_v = Lq - rem // Lr + 1
+        rend_v = Lr - 1 - rem % Lr + 1
+        score_ref[:] = score_v
+        qend_ref[:] = qend_v
+        rend_ref[:] = rend_v
+        gscore_ref[:] = gbest // Lr
+        grend_ref[:] = Lr - 1 - gbest % Lr + 1
+
+        # ---- per-lane scalar traceback over the VMEM dirs scratch --------
+        for l in range(LANES):
+            bi = qend_v[l, 0] - 1
+            bj = rend_v[l, 0] - 1
+
+            def cond(st):
+                i, j, mode, kop, cur_op, cur_len, nm, done, steps = st
+                return (done == 0) & (steps < Lq + Lr)
+
+            def step(st):
+                i, j, mode, kop, cur_op, cur_len, nm, done, steps = st
+                ii = jnp.clip(i, 0, Lq - 1)
+                jj = jnp.clip(j, 0, Lr - 1)
+                # dynamic lane-dim scalar loads are not legal in Mosaic —
+                # load the (1, Lr) row and extract via masked reduce
+                rowv = dirs_ref[ii, pl.ds(l, 1), :]        # (1, Lr)
+                colv = jax.lax.broadcasted_iota(jnp.int32, (1, Lr), 1)
+                p = jnp.sum(jnp.where(colv == jj, rowv, 0))
+                d = p & 3
+                ve = (p >> 2) & 1
+                fe = (p >> 3) & 1
+                mis = (p >> 4) & 1
+                oob = (i < 0) | (j < 0)
+                d_eff = jnp.where(
+                    mode == 1, 2,
+                    jnp.where(mode == 2, 3, jnp.where(oob, 0, d)))
+                fin = d_eff == 0
+                op = jnp.where(d_eff == 1, 0, jnp.where(d_eff == 2, 1, 2))
+                # flush previous run when op changes
+                change = (~fin) & (cur_len > 0) & (op != cur_op)
+                kflush = jnp.clip(kop, 0, max_ops - 1)
+                @pl.when(change | (fin & (cur_len > 0)))
+                def _():
+                    ops_ref[l, kflush] = cur_op
+                    lens_ref[l, kflush] = cur_len
+                kop2 = jnp.where(change | (fin & (cur_len > 0)), kop + 1, kop)
+                cur_op2 = jnp.where(fin, cur_op, op)
+                cur_len2 = jnp.where(
+                    fin, 0, jnp.where(change, 1, cur_len + 1))
+                # in a fresh run (no change, cur_len==0): set cur_len 1
+                cur_len2 = jnp.where(
+                    (~fin) & (~change) & (cur_len == 0), 1, cur_len2)
+                nm2 = jnp.where(
+                    fin, nm,
+                    nm + jnp.where(d_eff == 1, mis, 1))
+                is_diag = (~fin) & (d_eff == 1)
+                is_vert = (~fin) & (d_eff == 2)
+                is_horiz = (~fin) & (d_eff == 3)
+                i2 = jnp.where(is_diag | is_vert, i - 1, i)
+                j2 = jnp.where(is_diag | is_horiz, j - 1, j)
+                mode2 = jnp.where(
+                    is_vert & (ve == 1), 1,
+                    jnp.where(is_horiz & (fe == 1), 2, 0))
+                mode2 = jnp.where(fin, mode, mode2)
+                return (i2, j2, mode2, kop2, cur_op2, cur_len2, nm2,
+                        jnp.where(fin, 1, 0), steps + 1)
+
+            z32 = jnp.int32(0)
+            st = (bi, bj, z32, z32, jnp.int32(-1), z32, z32, z32, z32)
+            i_f, j_f, _, kop_f, _, _, nm_f, _, _ = jax.lax.while_loop(
+                cond, step, st)
+            n = jnp.clip(kop_f, 0, max_ops)
+            nops_ref[l, 0] = n
+            qbeg_ref[l, 0] = i_f + 1
+            rbeg_ref[l, 0] = j_f + 1
+            nm_ref[l, 0] = nm_f
+
+            # reverse ops/lens[0:n] in place (walk emitted end→start)
+            def rev(t, _):
+                a = t
+                b = n - 1 - t
+                @pl.when(a < b)
+                def _():
+                    oa = ops_ref[l, a]
+                    ob = ops_ref[l, b]
+                    la = lens_ref[l, a]
+                    lb = lens_ref[l, b]
+                    ops_ref[l, a] = ob
+                    ops_ref[l, b] = oa
+                    lens_ref[l, a] = lb
+                    lens_ref[l, b] = la
+                return 0
+            jax.lax.fori_loop(0, max_ops // 2, rev, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "max_ops", "interpret")
+)
+def sw_pallas_cigar(
+    query: jnp.ndarray,   # (N, Lq) int32, N multiple of 8
+    qlen: jnp.ndarray,    # (N,) int32
+    ref: jnp.ndarray,     # (N, Lr) int32, Lr ≤ 256 (multiple of 128)
+    params: Tuple[int, int, int, int] = (1, 4, 6, 1),
+    max_ops: int = 48,
+    interpret: bool = False,
+):
+    """DP + traceback in one launch.  Returns (score, qbeg, qend, rbeg,
+    rend, gscore, grend, ops, lens, n_ops, nm); ops/lens are (N, max_ops)
+    int32 in alignment order (no clips), valid up to n_ops."""
+    N, Lq = query.shape
+    Lr = ref.shape[1]
+    assert N % LANES == 0 and Lr <= 256
+    grid = (N // LANES,)
+    vm = lambda: pl.BlockSpec((LANES, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    sm = lambda w: pl.BlockSpec((LANES, w), lambda i: (i, 0), memory_space=pltpu.SMEM)
+    out_shape = [jax.ShapeDtypeStruct((N, 1), jnp.int32) for _ in range(5)]
+    out_specs = [vm() for _ in range(5)]
+    out_shape += [
+        jax.ShapeDtypeStruct((N, max_ops), jnp.int32),  # ops
+        jax.ShapeDtypeStruct((N, max_ops), jnp.int32),  # lens
+        jax.ShapeDtypeStruct((N, 1), jnp.int32),        # n_ops
+        jax.ShapeDtypeStruct((N, 1), jnp.int32),        # qbeg
+        jax.ShapeDtypeStruct((N, 1), jnp.int32),        # rbeg
+        jax.ShapeDtypeStruct((N, 1), jnp.int32),        # nm
+    ]
+    out_specs += [sm(max_ops), sm(max_ops), sm(1), sm(1), sm(1), sm(1)]
+    outs = pl.pallas_call(
+        _mk_cigar_kernel(Lq, Lr, params, max_ops),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((LANES, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((LANES, Lq), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((LANES, Lr), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((Lq, LANES, Lr), jnp.int32)],
+        interpret=interpret,
+    )(
+        qlen[:, None].astype(jnp.int32),
+        query.astype(jnp.int32),
+        ref.astype(jnp.int32),
+    )
+    (score, qend, rend, gscore, grend,
+     ops, lens, n_ops, qbeg, rbeg, nm) = outs
+    return (
+        score[:, 0], qbeg[:, 0], qend[:, 0], rbeg[:, 0], rend[:, 0],
+        gscore[:, 0], grend[:, 0], ops, lens, n_ops[:, 0], nm[:, 0],
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("params", "with_dirs", "interpret")
 )
