@@ -18,7 +18,7 @@ import numpy as np
 
 from ..index.fm import FMIndex, get_ref_window, get_ref_window_packed
 from .seeding import find_seeds
-from .chain import chain_seeds
+from .chain import chain_seeds, chain_seeds_nms
 from .sw import banded_sw, SWParams, SWResult
 
 PAD = 44  # ref-window slack each side of the chain anchor diagonal
@@ -164,12 +164,13 @@ def score_candidates(
             kidx, reads, lengths, k=min_seed_len, stride=stride,
             max_hits=max_hits,
         )
+        chains = chain_seeds_nms(seeds, L, k=n_chains)
     else:
         seeds = find_seeds(
             fm, reads, lengths, stride=stride, min_seed_len=min_seed_len,
             max_hits=max_hits,
         )
-    chains = chain_seeds(seeds, L, k=n_chains)
+        chains = chain_seeds(seeds, L, k=n_chains)
     K = n_chains
     W = L + 2 * PAD + 16
     reads_rc = revcomp_reads(reads, lengths)
@@ -262,6 +263,61 @@ def extend_candidates(
         refwin=refwin.reshape(B, S, W),
         rstart=rstart,
         nm=nm,
+    )
+
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_chains", "stride", "min_seed_len", "max_hits"),
+)
+def weight_candidates(
+    fm: FMIndex,
+    reads: jnp.ndarray,
+    lengths: jnp.ndarray,
+    n_chains: int = 4,
+    stride: int = 8,
+    min_seed_len: int = 19,
+    max_hits: int = 4,
+    kidx=None,
+) -> ScoredChains:
+    """Phase 1 without any DP: chain weight (exact-match query coverage) as
+    the selection score.  Seeds are exact matches, so weight·match is a
+    tight upper bound on the chain's SW score for mostly-exact reads —
+    good enough to pick pairs/primaries; the selected slots then get real
+    scores + cigars from the single extension pass.  Cuts the phase-1
+    SW kernel (~150 ms per 4k batch) out of the fused step entirely."""
+    from ..index.kmer import find_seeds_hash
+
+    B, L = reads.shape
+    reads = reads.astype(jnp.int32)
+    if kidx is not None:
+        seeds = find_seeds_hash(
+            kidx, reads, lengths, k=min_seed_len, stride=stride,
+            max_hits=max_hits,
+        )
+        chains = chain_seeds_nms(seeds, L, k=n_chains)
+    else:
+        seeds = find_seeds(
+            fm, reads, lengths, stride=stride, min_seed_len=min_seed_len,
+            max_hits=max_hits,
+        )
+        chains = chain_seeds(seeds, L, k=n_chains)
+    diag = chains.anchor_rpos - chains.anchor_qpos
+    pos = diag + chains.qspan_beg
+    rend = diag + chains.qspan_end
+    score = jnp.where(chains.valid, chains.weight, 0)
+    return ScoredChains(
+        pos=pos,
+        rend_pos=rend,
+        strand=chains.strand,
+        score=score,
+        anchor_rpos=chains.anchor_rpos,
+        anchor_qpos=chains.anchor_qpos,
+        qspan_beg=chains.qspan_beg,
+        qspan_end=chains.qspan_end,
+        qend=chains.qspan_end,
+        valid=chains.valid,
     )
 
 
@@ -360,7 +416,7 @@ def _device_pair_select(
     jax.jit,
     static_argnames=(
         "n_chains", "stride", "min_seed_len", "max_hits", "params",
-        "use_pallas", "paired",
+        "use_pallas", "paired", "score_mode",
     ),
 )
 def fused_align_step(
@@ -378,18 +434,28 @@ def fused_align_step(
     use_pallas: bool = False,
     paired: bool = True,
     kidx=None,
+    score_mode: str = "weight",  # "weight" (no phase-1 DP) | "sw"
 ):
     """One fully-fused device step: phase-1 scoring for both ends, joint
     pair selection, split detection, and phase-2 extension — a single
     dispatch + a single host transfer per batch (the relay's host↔device
     round trip is ~100 ms, so per-batch syncs dominate anything else)."""
-    kw = dict(
-        n_chains=n_chains, stride=stride, min_seed_len=min_seed_len,
-        max_hits=max_hits, params=params, use_pallas=use_pallas, kidx=kidx,
-    )
-    sc1 = score_candidates(fm, reads1, lengths1, **kw)
+    if score_mode == "weight":
+        kw = dict(
+            n_chains=n_chains, stride=stride, min_seed_len=min_seed_len,
+            max_hits=max_hits, kidx=kidx,
+        )
+        phase1 = weight_candidates
+    else:
+        kw = dict(
+            n_chains=n_chains, stride=stride, min_seed_len=min_seed_len,
+            max_hits=max_hits, params=params, use_pallas=use_pallas,
+            kidx=kidx,
+        )
+        phase1 = score_candidates
+    sc1 = phase1(fm, reads1, lengths1, **kw)
     if paired and reads2 is not None:
-        sc2 = score_candidates(fm, reads2, lengths2, **kw)
+        sc2 = phase1(fm, reads2, lengths2, **kw)
         if distro is None:
             distro = jnp.asarray([300.0, 100.0, 50.0, 700.0], jnp.float32)
         k1, k2 = _device_pair_select(sc1, sc2, distro)
