@@ -32,6 +32,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 8          # queries per grid program (sublane dim)
+MAX_DEL = 64       # deletion-state scan window: the prefix-max over the
+# row is capped at 64 columns (6 roll steps instead of log2(Lr)) — exact
+# for all deletions that fit the ±PAD ref-window slack (align/core.py);
+# longer in-read deletions fall to the soft-clip/split path, as with
+# bwa's band cap [external knowledge]
 NEG = -(10 ** 6)
 
 
@@ -91,7 +96,7 @@ def _mk_kernel(Lq: int, Lr: int, params, with_dirs: bool):
             m = Ht + p_ext * col
             x = m
             s = 1
-            while s < Lr:
+            while s < min(Lr, MAX_DEL):
                 xs = pltpu.roll(x, s, 1)
                 x = jnp.maximum(x, jnp.where(col >= s, xs, NEG))
                 s *= 2
@@ -187,7 +192,7 @@ def _mk_cigar_kernel(Lq: int, Lr: int, params, max_ops: int):
             m = Ht + p_ext * col
             x = m
             s = 1
-            while s < Lr:
+            while s < min(Lr, MAX_DEL):
                 xs = pltpu.roll(x, s, 1)
                 x = jnp.maximum(x, jnp.where(col >= s, xs, NEG))
                 s *= 2
