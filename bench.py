@@ -39,7 +39,7 @@ def main():
     kidx = jax.device_put(build_kmer_index(idx.pac))
 
     genome = FastaFile(ref).fetch_encoded("20_slice")
-    B, L = 4096, 100
+    B, L = 16384, 100
     _, s1, _, s2, _, _ = simulate_pairs(genome, B // 2, read_len=L, seed=0)
     reads = np.concatenate([s1, s2]).astype(np.int32)
     lengths = np.full(B, L, dtype=np.int32)
@@ -66,7 +66,7 @@ def main():
         return np.asarray(res[0][0].score)
 
     full_step()  # warmup / compile
-    iters = 5
+    iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         full_step()
