@@ -19,3 +19,27 @@ A from-scratch reimplementation of the capabilities of hall-lab/speedseq
 """
 
 __version__ = "0.1.0"
+
+
+def _setup_jax_cache():
+    """Persistent XLA compilation cache: CLI subcommands are separate
+    processes (like the reference's separate binaries), so without this
+    every run pays ~25 s of recompiles.  Opt out with SSQ_NO_JAX_CACHE."""
+    import os
+
+    if os.environ.get("SSQ_NO_JAX_CACHE"):
+        return
+    try:
+        import jax
+
+        d = os.path.join(
+            os.path.expanduser("~"), ".cache", "speedseq_tpu", "jaxcache"
+        )
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_setup_jax_cache()

@@ -80,6 +80,18 @@ class AlignConfig:
             self.sample = d.get("SM", self.sample)
 
 
+def _index_cache_path(reference: str) -> str:
+    import hashlib
+
+    st = os.stat(reference)
+    key = hashlib.sha1(
+        f"{os.path.abspath(reference)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    d = os.path.join(os.path.expanduser("~"), ".cache", "speedseq_tpu")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"safull-{key}.npy")
+
+
 def _load_fm(reference: str, seed_mode: str = "hash"):
     # auto `bwa index` behavior (bin/speedseq:386-391)
     if not os.path.exists(reference + ".bwt"):
@@ -91,11 +103,32 @@ def _load_fm(reference: str, seed_mode: str = "hash"):
         from ..index.kmer import build_kmer_index
 
         kidx = build_kmer_index(idx.pac)
-    return idx, FMIndex.from_bwa(idx), kidx
+    # the full SA reconstruction (one O(n) host LF walk) is the slow part
+    # of loading a foreign bwa index — cache it on disk keyed by the
+    # reference file identity
+    sa_full = None
+    cache = _index_cache_path(reference)
+    if os.path.exists(cache):
+        try:
+            sa_full = np.load(cache)
+        except Exception:
+            sa_full = None
+    if sa_full is None:
+        from ..index.fm import _reconstruct_sa
+
+        sa_full = _reconstruct_sa(idx)
+        try:
+            np.save(cache, sa_full)
+        except Exception:
+            pass
+    return idx, FMIndex.from_bwa(idx, sa_full=sa_full), kidx
 
 
 def _phred(q: np.ndarray, length: int) -> str:
     return "".join(chr(min(int(x), 93) + 33) for x in q[:length])
+
+
+_BASE_CHARS = np.frombuffer(b"ACGTN", dtype=np.uint8)
 
 
 @dataclass
@@ -175,6 +208,7 @@ def align_stream(
             pickle.dump((rows1, rows2, distro, bi + 1, n_reads), fh)
         os.replace(tmp, ckpt_path)
 
+    import jax
     import jax.numpy as jnp
 
     from ..utils.prefetch import prefetch
@@ -206,8 +240,31 @@ def align_stream(
             paired=is_paired_batch,
             kidx=kidx,
         )
-        if is_paired_batch and distro is None:
-            distro = _estimate_distro(res[0][3], res[1][3], cfg)
+        # ---- ONE device→host transfer per batch -----------------------
+        # individual np.asarray syncs cost ~0.5 s each on the relay
+        # (docs/PERF_NOTES.md); device_get of the whole needed pytree pays
+        # the sync once.  refwin (the big buffer) stays on device when the
+        # kernel supplied NM (pallas path).
+        need_distro = is_paired_batch and distro is None
+        to_fetch = []
+        for which in range(len(batches)):
+            cand, sub, sub_n, sc = res[which]
+            slim = cand
+            if use_pallas:
+                dummy = jnp.zeros((1, 1, 1), jnp.uint8)
+                slim = cand._replace(refwin=dummy)
+            to_fetch.append((
+                slim, sub, sub_n,
+                (sc.pos, sc.strand, sc.score, sc.rend_pos)
+                if need_distro else None,
+            ))
+        fetched = jax.device_get(to_fetch)
+        if need_distro:
+            import types
+
+            mk = lambda t: types.SimpleNamespace(
+                pos=t[0], strand=t[1], score=t[2], rend_pos=t[3])
+            distro = _estimate_distro(mk(fetched[0][3]), mk(fetched[1][3]), cfg)
             distro_arr = jnp.asarray(
                 [distro.mean, distro.std, distro.low, distro.high], jnp.float32
             )
@@ -218,35 +275,38 @@ def align_stream(
                 )
         sels = []
         for which in range(len(batches)):
-            cand, sub, sub_n, _sc = res[which]
+            cand_np, sub, sub_n, _ = fetched[which]
             sels.append(
                 finalize_alignments(
-                    cand, seqs_p[which], lens_p[which],
+                    cand_np, seqs_p[which], lens_p[which],
                     np.asarray(sub), np.asarray(sub_n),
                 )
             )
 
-        for i in range(n):
-            for which, (bb, sel, rows) in enumerate(
-                zip(batches, sels, [rows1, rows2])
-            ):
+        for which, (bb, sel, rows) in enumerate(
+            zip(batches, sels, [rows1, rows2])
+        ):
+            # vectorized per-batch decodes (chr/qual tables + batch tids)
+            seq_chars = _BASE_CHARS[np.minimum(bb.seq[:n], 4)]
+            qual_chars = (np.minimum(bb.qual[:n], 93) + 33).astype(np.uint8)
+            prim_pos = np.asarray(
+                [sel[i][0].pos if sel[i][0].aligned else 0 for i in range(n)],
+                dtype=np.int64,
+            )
+            tids = idx.tid_for_pos(prim_pos)
+            for i in range(n):
                 prim, supp = sel[i]
                 L = int(bb.length[i])
-                tid = (
-                    int(idx.tid_for_pos(np.asarray([prim.pos]))[0])
-                    if prim.aligned
-                    else -1
-                )
                 comment = bb.comments[i] if i < len(bb.comments) else ""
                 rg = comment[3:] if comment.startswith("RG:") else ""
                 rows.append(
                     _PairRow(
                         name=bb.names[i],
-                        seq=decode_bases(bb.seq[i, :L]).decode(),
-                        qual=_phred(bb.qual[i], L),
+                        seq=seq_chars[i, :L].tobytes().decode(),
+                        qual=qual_chars[i, :L].tobytes().decode(),
                         aln=prim,
                         supp=supp,
-                        tid=tid,
+                        tid=int(tids[i]) if prim.aligned else -1,
                         rg=rg,
                     )
                 )

@@ -68,7 +68,9 @@ def records_to_columns(records: List[SAMRecord]):
         if r.qual in ("*", "") or not seq:
             qual = b"\xff" * len(seq)
         else:
-            qual = bytes((ord(c) - 33) & 0xFF for c in r.qual)
+            qual = (
+                np.frombuffer(r.qual.encode("latin-1"), np.uint8) - 33
+            ).tobytes()
         seqs.append(seq)
         quals.append(qual)
         seq_off[i + 1] = seq_off[i] + len(seq)
