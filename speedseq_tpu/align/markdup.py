@@ -49,50 +49,78 @@ def unclipped_5p(pos: int, end_pos: int, strand: int, cigar) -> int:
     return end_pos + tail
 
 
-def mark_duplicates(
-    tid1: np.ndarray, p5_1: np.ndarray, st1: np.ndarray, ok1: np.ndarray,
-    tid2: np.ndarray, p5_2: np.ndarray, st2: np.ndarray, ok2: np.ndarray,
-) -> np.ndarray:
-    """Vectorized pair-level duplicate marking; returns bool (n_pairs,)
-    True = duplicate.  First occurrence in input order wins (samblaster
-    streaming first-seen semantics)."""
-    n = len(tid1)
-    if n == 0:
-        return np.zeros(0, dtype=bool)
-    ok1 = np.asarray(ok1, dtype=bool)
-    ok2 = np.asarray(ok2, dtype=bool)
-    # canonical ordering of the two ends
-    a = np.stack([tid1, p5_1, st1], axis=1).astype(np.int64)
-    b = np.stack([tid2, p5_2, st2], axis=1).astype(np.int64)
-    swap = (a[:, 0] > b[:, 0]) | (
-        (a[:, 0] == b[:, 0]) & (a[:, 1] > b[:, 1])
-    )
-    lo = np.where(swap[:, None], b, a)
-    hi = np.where(swap[:, None], a, b)
-    both = ok1 & ok2
-    one = ok1 ^ ok2
-    single = np.where(ok1[:, None], a, b)
-    # key spaces kept disjoint: pair keys vs orphan keys
-    key = np.zeros((n, 7), dtype=np.int64)
-    key[both, 0] = 1
-    key[both, 1:4] = lo[both]
-    key[both, 4:7] = hi[both]
-    key[one, 0] = 2
-    key[one, 1:4] = single[one]
-    dup = np.zeros(n, dtype=bool)
-    for mask in (both, one):
-        idx = np.nonzero(mask)[0]
-        if len(idx) == 0:
-            continue
-        k = key[idx]
-        # lexsort: last key is primary → columns major, input order as tie
-        order = np.lexsort((idx,) + tuple(k[:, i] for i in range(6, -1, -1)))
-        ks = k[order]
-        first = np.ones(len(idx), dtype=bool)
-        first[1:] = (ks[1:] != ks[:-1]).any(axis=1)
-        d = ~first
-        dup[idx[order]] = d
-    return dup
+class StreamDupMarker:
+    """Streaming first-seen duplicate signatures (samblaster's hash-table
+    semantic: one entry per unique signature lives for the whole run; reads
+    themselves are never retained).  Signatures are optionally scoped by
+    library id — samblaster runs per-library in the reference realign flow
+    (bin/speedseq:1930-1973), so two pairs from different libraries are
+    never duplicates of each other.
+    """
+
+    def __init__(self):
+        self._pairs: set = set()
+        self._orphans: set = set()
+        # signatures added since the last drain_new() — the align
+        # checkpoint journals only this delta (O(batch) per checkpoint)
+        self._new_pairs: list = []
+        self._new_orphans: list = []
+
+    def mark_batch(
+        self,
+        tid1: np.ndarray, p5_1: np.ndarray, st1: np.ndarray, ok1: np.ndarray,
+        tid2: np.ndarray, p5_2: np.ndarray, st2: np.ndarray, ok2: np.ndarray,
+        lib: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Mark one batch against the running signature tables; returns
+        bool (n,) True = duplicate.  Batch order = stream order."""
+        n = len(tid1)
+        dup = np.zeros(n, dtype=bool)
+        if n == 0:
+            return dup
+        ok1 = np.asarray(ok1, dtype=bool)
+        ok2 = np.asarray(ok2, dtype=bool)
+        if lib is None:
+            lib = np.zeros(n, dtype=np.int64)
+        a = np.stack([tid1, p5_1, st1], axis=1).astype(np.int64)
+        b = np.stack([tid2, p5_2, st2], axis=1).astype(np.int64)
+        swap = (a[:, 0] > b[:, 0]) | ((a[:, 0] == b[:, 0]) & (a[:, 1] > b[:, 1]))
+        lo = np.where(swap[:, None], b, a)
+        hi = np.where(swap[:, None], a, b)
+        both = ok1 & ok2
+        one = ok1 ^ ok2
+        single = np.where(ok1[:, None], a, b)
+        pairs, orphans = self._pairs, self._orphans
+        for i in np.nonzero(both)[0]:
+            key = (int(lib[i]), int(lo[i, 0]), int(lo[i, 1]), int(lo[i, 2]),
+                   int(hi[i, 0]), int(hi[i, 1]), int(hi[i, 2]))
+            if key in pairs:
+                dup[i] = True
+            else:
+                pairs.add(key)
+                self._new_pairs.append(key)
+        for i in np.nonzero(one)[0]:
+            key = (int(lib[i]), int(single[i, 0]), int(single[i, 1]),
+                   int(single[i, 2]))
+            if key in orphans:
+                dup[i] = True
+            else:
+                orphans.add(key)
+                self._new_orphans.append(key)
+        return dup
+
+    # --------------------------------------------------- checkpoint API
+    def drain_new(self) -> Tuple[list, list]:
+        """New (pair, orphan) signatures since the previous drain; the
+        caller appends them to its checkpoint journal."""
+        np_, no_ = self._new_pairs, self._new_orphans
+        self._new_pairs, self._new_orphans = [], []
+        return np_, no_
+
+    def replay(self, pair_keys, orphan_keys) -> None:
+        """Re-add journaled signatures on resume."""
+        self._pairs.update(pair_keys)
+        self._orphans.update(orphan_keys)
 
 
 def strip_seq(rec: SAMRecord) -> SAMRecord:

@@ -35,9 +35,15 @@ class InsertDistro:
         end2: np.ndarray,
         qlen: int,
         max_isize: int = 10000,
+        fallback: Optional["InsertDistro"] = None,
     ) -> "InsertDistro":
         """From best single-end placements of a sample batch: FR pairs,
-        two-round 4-sigma trimming (pairend_distro.py semantics)."""
+        two-round 4-sigma trimming (pairend_distro.py semantics).
+
+        When fewer than 8 usable pairs exist, returns ``fallback`` (the
+        previous rolling estimate) if given, else the bwa-ish default —
+        so periodic re-estimation never regresses to the default on a
+        sparse batch."""
         good = (
             (score1 > qlen // 2) & (score2 > qlen // 2)
             & (strand1 != strand2)
@@ -48,9 +54,10 @@ class InsertDistro:
         # FR orientation: leftmost read must be the forward one
         fwd_first = np.where(pos1 <= pos2, strand1 == 0, strand2 == 0)
         good &= fwd_first & (isize > 0) & (isize < max_isize)
+        default = fallback or cls(mean=300.0, std=100.0, low=50, high=700)
         vals = isize[good].astype(np.float64)
         if len(vals) < 8:
-            return cls(mean=300.0, std=100.0, low=50, high=700)
+            return default
         for _ in range(2):
             m, s = vals.mean(), max(vals.std(), 1.0)
             vals = vals[np.abs(vals - m) <= 4 * s]

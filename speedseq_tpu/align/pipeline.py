@@ -2,12 +2,19 @@
 
 Reproduces the reference align module (bin/speedseq:189-504): the 4-process
 pipe ``bwa mem | samblaster | sambamba view | sambamba sort`` plus two FIFO
-side pipelines collapse into one device graph + host epilogue:
+side pipelines collapse into one device graph + streaming host epilogue:
 
-  device: seeding / chaining / SW extension (align_candidates)
-  host:   insert-distro estimation, joint pair selection, MAPQ, NM/MD,
-          dup marking, splitter/discordant extraction, coordinate sort,
-          BAM+BAI emission
+  device: seeding / chaining / pair selection / SW extension
+          (core.fused_align_step — one dispatch per batch)
+  host:   insert-distro estimation (rolling, per-chunk like bwa),
+          MAPQ, NM/MD, streaming dup marking (samblaster hash-table
+          semantics), splitter/discordant extraction, bounded-memory
+          external coordinate sort (formats.extsort), BAM+BAI emission
+
+Memory is bounded: each batch's records flow straight into the external
+sorter (spilled sorted chunks + k-way merge, the samtools sort semantic,
+src/samtools-1.3.1/bam_sort.c:1650-1812) — nothing per-read is retained
+across batches except duplicate signatures (samblaster keeps the same).
 
 Outputs: {out}.bam, {out}.splitters.bam, {out}.discordants.bam (+ .bai),
 with splitter/discordant SEQ/QUAL stripped exactly like the reference's
@@ -43,7 +50,7 @@ from .core import (
     select_alignments,
 )
 from .markdup import (
-    make_sa_tag, mark_duplicates, split_qualifies, strip_seq, unclipped_5p,
+    StreamDupMarker, make_sa_tag, split_qualifies, strip_seq, unclipped_5p,
 )
 from .pairing import InsertDistro, joint_pair_select, is_proper
 from .sw import _pallas_ok
@@ -67,6 +74,10 @@ class AlignConfig:
     resume: bool = False       # the reference has none, SURVEY.md §5)
     checkpoint_every: int = 8
     seed_mode: str = "hash"    # "hash" (TPU-first k-mer index) | "fm"
+    sort_max_records: int = 200_000  # external-sort chunk size (the
+    # bounded-memory analog of sambamba sort -m, bin/speedseq:248,441)
+    distro_update_every: int = 32    # batches between insert-distro
+    # re-estimates (bwa re-estimates per chunk; README.md:203-207)
     verbose: bool = False
 
     def __post_init__(self):
@@ -180,8 +191,6 @@ def align_stream(
     cfg = config
     idx, fm, kidx = _load_fm(reference, cfg.seed_mode)
 
-    rows1: List[_PairRow] = []
-    rows2: List[_PairRow] = []
     distro: Optional[InsertDistro] = None
     if cfg.insert_override is not None:
         m, s, mx, mn = cfg.insert_override
@@ -189,24 +198,73 @@ def align_stream(
     n_reads = 0
     use_pallas = _pallas_ok()
 
+    header = SAMHeader.build(
+        refs=list(zip(idx.names, idx.lengths)),
+        read_groups=rg_lines if rg_lines else [_rg_line(cfg)],
+        sort_order="coordinate",
+        programs=[f"@PG\tID:speedseq_tpu\tPN:speedseq_tpu\tVN:0.1.0"],
+    )
+    from ..formats.extsort import ExternalBAMSorter
+
+    sorters = {
+        "bam": ExternalBAMSorter(
+            out_prefix + ".bam", header, max_records=cfg.sort_max_records),
+        "splitters": ExternalBAMSorter(
+            out_prefix + ".splitters.bam", header,
+            max_records=cfg.sort_max_records),
+        "discordants": ExternalBAMSorter(
+            out_prefix + ".discordants.bam", header,
+            max_records=cfg.sort_max_records),
+    }
+    marker = StreamDupMarker()
+    lib_of_rg = _lib_map(rg_lines, cfg)
+
     # checkpoint/resume (batch-granular; a capability the reference lacks —
-    # its resumability is only whole-module artifact reuse, SURVEY.md §5)
+    # its resumability is only whole-module artifact reuse, SURVEY.md §5).
+    # The checkpoint is an append-only journal of O(batch)-sized segments:
+    # new dup signatures since the previous segment + sorter chunk lists.
     import pickle
 
     ckpt_path = out_prefix + ".align.ckpt"
     done_batches = 0
     if cfg.resume and os.path.exists(ckpt_path):
+        seg = None
+        all_pairs: list = []
+        all_orphans: list = []
         with open(ckpt_path, "rb") as fh:
-            state = pickle.load(fh)
-        rows1, rows2, distro, done_batches, n_reads = state
-        if cfg.verbose:
-            print(f"[align] resumed at batch {done_batches} ({n_reads} reads)")
+            while True:
+                try:
+                    s = pickle.load(fh)
+                except (EOFError, pickle.UnpicklingError):
+                    break  # truncated tail segment: resume from the last
+                all_pairs.extend(s["new_pairs"])
+                all_orphans.extend(s["new_orphans"])
+                seg = s
+        if seg is not None:
+            done_batches = seg["batch"]
+            n_reads = seg["n_reads"]
+            distro = seg["distro"]
+            marker.replay(all_pairs, all_orphans)
+            marker.drain_new()
+            for k in sorters:
+                sorters[k].restore(seg["sorters"][k])
+            if cfg.verbose:
+                print(
+                    f"[align] resumed at batch {done_batches} "
+                    f"({n_reads} reads)"
+                )
 
     def _save_ckpt(bi):
-        tmp = ckpt_path + ".tmp"
-        with open(tmp, "wb") as fh:
-            pickle.dump((rows1, rows2, distro, bi + 1, n_reads), fh)
-        os.replace(tmp, ckpt_path)
+        for s in sorters.values():
+            s.spill()
+        new_p, new_o = marker.drain_new()
+        seg = {
+            "batch": bi + 1, "n_reads": n_reads, "distro": distro,
+            "new_pairs": new_p, "new_orphans": new_o,
+            "sorters": {k: s.state() for k, s in sorters.items()},
+        }
+        with open(ckpt_path, "ab") as fh:
+            pickle.dump(seg, fh)
 
     import jax
     import jax.numpy as jnp
@@ -214,6 +272,10 @@ def align_stream(
     from ..utils.prefetch import prefetch
 
     distro_arr = None
+    if distro is not None:
+        distro_arr = jnp.asarray(
+            [distro.mean, distro.std, distro.low, distro.high], jnp.float32
+        )
     for bi, (b1, b2) in enumerate(prefetch(batch_iter)):
         if bi < done_batches:
             continue
@@ -223,10 +285,6 @@ def align_stream(
         for bb in batches:
             seqs_p.append(_pad_batch(bb.seq, cfg.batch_size))
             lens_p.append(_pad_batch(bb.length[:, None], cfg.batch_size)[:, 0])
-        if distro is not None and distro_arr is None:
-            distro_arr = jnp.asarray(
-                [distro.mean, distro.std, distro.low, distro.high], jnp.float32
-            )
         is_paired_batch = paired and b2 is not None
         res = fused_align_step(
             fm,
@@ -245,7 +303,13 @@ def align_stream(
         # (docs/PERF_NOTES.md); device_get of the whole needed pytree pays
         # the sync once.  refwin (the big buffer) stays on device when the
         # kernel supplied NM (pallas path).
-        need_distro = is_paired_batch and distro is None
+        # insert distro: estimated from the first batch and re-estimated
+        # every distro_update_every batches (bwa's per-chunk re-estimation
+        # contract, README.md:203-207); -I pins it (insert_override)
+        est_distro = (
+            is_paired_batch and cfg.insert_override is None
+            and (distro is None or bi % cfg.distro_update_every == 0)
+        )
         to_fetch = []
         for which in range(len(batches)):
             cand, sub, sub_n, sc = res[which]
@@ -256,15 +320,17 @@ def align_stream(
             to_fetch.append((
                 slim, sub, sub_n,
                 (sc.pos, sc.strand, sc.score, sc.rend_pos)
-                if need_distro else None,
+                if est_distro else None,
             ))
         fetched = jax.device_get(to_fetch)
-        if need_distro:
+        if est_distro:
             import types
 
             mk = lambda t: types.SimpleNamespace(
                 pos=t[0], strand=t[1], score=t[2], rend_pos=t[3])
-            distro = _estimate_distro(mk(fetched[0][3]), mk(fetched[1][3]), cfg)
+            distro = _estimate_distro(
+                mk(fetched[0][3]), mk(fetched[1][3]), cfg, fallback=distro
+            )
             distro_arr = jnp.asarray(
                 [distro.mean, distro.std, distro.low, distro.high], jnp.float32
             )
@@ -283,9 +349,9 @@ def align_stream(
                 )
             )
 
-        for which, (bb, sel, rows) in enumerate(
-            zip(batches, sels, [rows1, rows2])
-        ):
+        rows_b: List[List[_PairRow]] = [[], []]
+        for which, (bb, sel) in enumerate(zip(batches, sels)):
+            rows = rows_b[which]
             # vectorized per-batch decodes (chr/qual tables + batch tids)
             seq_chars = _BASE_CHARS[np.minimum(bb.seq[:n], 4)]
             qual_chars = (np.minimum(bb.qual[:n], 93) + 33).astype(np.uint8)
@@ -310,34 +376,31 @@ def align_stream(
                         rg=rg,
                     )
                 )
+        # ---- streaming epilogue: records out, nothing retained ---------
+        batch_distro = distro or InsertDistro(
+            mean=300.0, std=100.0, low=50, high=700)
+        main, splitters, discordants = assemble_records(
+            rows_b[0], rows_b[1] if is_paired_batch else None, idx,
+            batch_distro, cfg, marker=marker, lib_of_rg=lib_of_rg,
+        )
+        sorters["bam"].add_many(main)
+        sorters["splitters"].add_many(splitters)
+        sorters["discordants"].add_many(discordants)
         n_reads += n * len(batches)
         if cfg.checkpoint and (bi + 1) % cfg.checkpoint_every == 0:
             _save_ckpt(bi)
 
     if os.path.exists(ckpt_path):
         os.remove(ckpt_path)
-    if distro is None:
-        distro = InsertDistro(mean=300.0, std=100.0, low=50, high=700)
-
-    header = SAMHeader.build(
-        refs=list(zip(idx.names, idx.lengths)),
-        read_groups=rg_lines if rg_lines else [_rg_line(cfg)],
-        sort_order="coordinate",
-        programs=[f"@PG\tID:speedseq_tpu\tPN:speedseq_tpu\tVN:0.1.0"],
-    )
-
-    main, splitters, discordants = assemble_records(
-        rows1, rows2 if paired else None, idx, distro, cfg
-    )
 
     outputs = {}
-    for recs, suffix in (
-        (main, ".bam"),
-        (splitters, ".splitters.bam"),
-        (discordants, ".discordants.bam"),
+    for key, suffix in (
+        ("bam", ".bam"),
+        ("splitters", ".splitters.bam"),
+        ("discordants", ".discordants.bam"),
     ):
+        sorters[key].close()
         path = out_prefix + suffix
-        _sort_and_write(recs, header, path)
         bai.build_bai(path)
         outputs[suffix[1:]] = path
     if cfg.verbose:
@@ -361,7 +424,10 @@ def _pad_batch(a: np.ndarray, n: int) -> np.ndarray:
     return np.concatenate([a, pad], axis=0)
 
 
-def _estimate_distro(c1: Candidates, c2: Candidates, cfg: AlignConfig) -> InsertDistro:
+def _estimate_distro(
+    c1: Candidates, c2: Candidates, cfg: AlignConfig,
+    fallback: Optional[InsertDistro] = None,
+) -> InsertDistro:
     k1 = np.argmax(np.asarray(c1.score), axis=1)
     k2 = np.argmax(np.asarray(c2.score), axis=1)
     bi = np.arange(len(k1))
@@ -371,7 +437,30 @@ def _estimate_distro(c1: Candidates, c2: Candidates, cfg: AlignConfig) -> Insert
         np.asarray(c2.pos)[bi, k2], np.asarray(c2.strand)[bi, k2],
         np.asarray(c2.score)[bi, k2], np.asarray(c2.rend_pos)[bi, k2],
         qlen=cfg.max_read_len,
+        fallback=fallback,
     )
+
+
+def _lib_map(rg_lines: Optional[List[str]], cfg: AlignConfig) -> Dict[str, int]:
+    """RG id → library index for duplicate-signature scoping (samblaster
+    runs per-library in the reference realign flow, bin/speedseq:1930-1973).
+    RGs sharing an LB value share a library index."""
+    libs: Dict[str, int] = {}
+    out: Dict[str, int] = {"": 0, cfg.rg_id: 0}
+    if not rg_lines:
+        return out
+    for line in rg_lines:
+        d = dict(
+            f.split(":", 1)
+            for f in line.replace("\\t", "\t").split("\t")[1:]
+            if ":" in f
+        )
+        rid = d.get("ID")
+        if rid is None:
+            continue
+        lb = d.get("LB", rid)
+        out[rid] = libs.setdefault(lb, len(libs))
+    return out
 
 
 def _revcomp_str(s: str) -> str:
@@ -385,25 +474,33 @@ def assemble_records(
     idx: BWAIndex,
     distro: InsertDistro,
     cfg: AlignConfig,
+    marker: Optional[StreamDupMarker] = None,
+    lib_of_rg: Optional[Dict[str, int]] = None,
 ):
     """Build SAM records with pair flags, mate tags, dup marks, and the
-    splitter/discordant side channels."""
+    splitter/discordant side channels.
+
+    Called once per batch on the streaming path: ``marker`` carries the
+    run-wide duplicate signature tables across calls (samblaster's
+    streaming hash table); a fresh marker is made when none is given
+    (single-shot use).  ``lib_of_rg`` scopes dup signatures per library.
+    """
     paired = rows2 is not None
     n = len(rows1)
     main: List[SAMRecord] = []
     splitters: List[SAMRecord] = []
     discordants: List[SAMRecord] = []
+    if marker is None:
+        marker = StreamDupMarker()
 
     # offsets convert genome pos → (tid, chrom pos)
     offsets = np.asarray(idx.offsets + [idx.l_pac], dtype=np.int64)
 
-    def chrom_pos(row: _PairRow, a: HostAlignment) -> Tuple[int, int, int]:
-        if not a.aligned:
-            return -1, -1, -1
-        tid = int(np.searchsorted(offsets, a.pos, side="right") - 1)
-        return tid, a.pos - int(offsets[tid]), a.end_pos - int(offsets[tid])
-
     # ---- duplicate marking over pairs ----------------------------------
+    lib = np.zeros(n, dtype=np.int64)
+    if lib_of_rg:
+        for i, r in enumerate(rows1):
+            lib[i] = lib_of_rg.get(r.rg, 0)
     if paired:
         t1 = np.array([r.tid for r in rows1])
         t2 = np.array([r.tid for r in rows2])
@@ -425,7 +522,7 @@ def assemble_records(
         )
         s1 = np.array([r.aln.strand for r in rows1])
         s2 = np.array([r.aln.strand for r in rows2])
-        dup = mark_duplicates(t1, p5_1, s1, ok1, t2, p5_2, s2, ok2)
+        dup = marker.mark_batch(t1, p5_1, s1, ok1, t2, p5_2, s2, ok2, lib=lib)
         dup &= ok1 | ok2
     else:
         ok1 = np.array([r.aln.aligned for r in rows1])
@@ -439,8 +536,9 @@ def assemble_records(
         t1 = np.array([r.tid for r in rows1])
         s1 = np.array([r.aln.strand for r in rows1])
         none = np.full(n, -1)
-        dup = mark_duplicates(
-            t1, p5_1, s1, ok1, none, none, none, np.zeros(n, dtype=bool)
+        dup = marker.mark_batch(
+            t1, p5_1, s1, ok1, none, none, none, np.zeros(n, dtype=bool),
+            lib=lib,
         )
         dup &= ok1
 
@@ -620,12 +718,8 @@ def _cigar_qspan(cigar) -> Tuple[int, int]:
 
 def sort_key(rec: SAMRecord) -> Tuple[int, int, int]:
     """samtools coordinate-sort key: tid<<32|(pos+1)<<1|is_rev
-    (src/samtools-1.3.1/bam_sort.c:1612); unmapped (tid<0) last."""
+    (src/samtools-1.3.1/bam_sort.c:1612); unmapped (tid<0) last.
+    The external sorter (formats.extsort) implements the same key
+    columnarly; this scalar form is kept for tests/verification."""
     tid = rec.tid if rec.tid >= 0 else 1 << 30
     return (tid, rec.pos + 1, 1 if rec.flag & FREVERSE else 0)
-
-
-def _sort_and_write(records: List[SAMRecord], header: SAMHeader, path: str):
-    order = sorted(range(len(records)), key=lambda i: sort_key(records[i]))
-    with bam.BAMWriter(path, header) as w:
-        w.write_batch([records[i] for i in order])

@@ -159,3 +159,106 @@ def test_cli_help_and_dispatch():
         capture_output=True, text=True, env=env,
     )
     assert out2.returncode == 1 and "-R" in out2.stderr
+
+
+# ---------------------------------------------------------------- extsort
+
+def test_external_sorter_spill_byte_identity(tmp_path):
+    """Spilled+merged output must be byte-identical to the in-memory
+    single-sort path (the samtools external-sort equivalence,
+    bam_sort.c:1650-1812)."""
+    from speedseq_tpu.formats.extsort import ExternalBAMSorter
+    from speedseq_tpu.formats.sam import SAMHeader, SAMRecord
+
+    rng = np.random.default_rng(7)
+    hdr = SAMHeader.build(refs=[("c1", 10000), ("c2", 10000)])
+    recs = []
+    for i in range(1000):
+        tid = int(rng.integers(-1, 2))
+        pos = int(rng.integers(0, 9000)) if tid >= 0 else -1
+        flag = 16 if rng.integers(0, 2) else 0
+        if tid < 0:
+            flag |= 4
+        recs.append(SAMRecord(
+            qname=f"r{i}", flag=flag, tid=tid, pos=pos, mapq=30,
+            cigar=[(0, 50)] if tid >= 0 else [], mtid=-1, mpos=-1, tlen=0,
+            seq="A" * 50, qual="I" * 50, tags=[("NM", "i", 0)],
+        ))
+    p_mem = str(tmp_path / "mem.bam")
+    p_ext = str(tmp_path / "ext.bam")
+    with ExternalBAMSorter(p_mem, hdr, max_records=10**9) as s:
+        s.add_many(recs)
+    with ExternalBAMSorter(p_ext, hdr, max_records=64) as s:
+        for r in recs:
+            s.add(r)
+    with open(p_mem, "rb") as a, open(p_ext, "rb") as b:
+        assert a.read() == b.read()
+    assert not os.path.exists(p_ext + ".sorttmp")
+
+
+def test_align_bounded_memory_identity(small_run, tmp_path):
+    """A run forced to spill tiny sort chunks produces output identical to
+    the unbounded run (streaming pipeline end-to-end)."""
+    d, truth = small_run
+    big = align_fastq(REF, str(d / "a1.fq"), str(d / "a2.fq"),
+                      out_prefix=str(tmp_path / "big"),
+                      config=AlignConfig(batch_size=32))
+    small = align_fastq(REF, str(d / "a1.fq"), str(d / "a2.fq"),
+                        out_prefix=str(tmp_path / "small"),
+                        config=AlignConfig(batch_size=32,
+                                           sort_max_records=16))
+    for k in ("bam", "splitters.bam", "discordants.bam"):
+        with open(big[k], "rb") as a, open(small[k], "rb") as b:
+            assert a.read() == b.read(), k
+
+
+def test_checkpoint_resume_mid_run(small_run, tmp_path):
+    """Kill after a few batches, resume, and match an uninterrupted run."""
+    import pickle
+
+    d, truth = small_run
+    cfg = AlignConfig(batch_size=16, checkpoint=True, checkpoint_every=1,
+                      sort_max_records=24)
+    ref_out = align_fastq(REF, str(d / "a1.fq"), str(d / "a2.fq"),
+                          out_prefix=str(tmp_path / "full"), config=cfg)
+
+    # simulate a crash: run fully, then rewind the journal to segment 2
+    # and delete outputs — resume must redo batches ≥2 identically
+    pref = str(tmp_path / "resume")
+    align_fastq(REF, str(d / "a1.fq"), str(d / "a2.fq"),
+                out_prefix=pref, config=cfg)
+    # rebuild a truncated journal (first 2 segments) by re-running with
+    # checkpointing but interrupting via a wrapper iterator
+    from speedseq_tpu.formats import fastq as fq
+    from speedseq_tpu.align.pipeline import align_stream
+
+    class Stop(Exception):
+        pass
+
+    def limited(it, n):
+        for i, x in enumerate(it):
+            if i >= n:
+                raise Stop()
+            yield x
+
+    import shutil
+
+    batches = fq.iter_batches(str(d / "a1.fq"), batch_size=16, max_len=151,
+                              paired_with=str(d / "a2.fq"))
+    for f in list(os.listdir(str(tmp_path))):
+        p = str(tmp_path / f)
+        if f.startswith("resume"):
+            shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+    try:
+        align_stream(REF, limited(batches, 2), pref, cfg)
+    except Stop:
+        pass
+    assert os.path.exists(pref + ".align.ckpt")
+    # resume from the journal with the full input
+    cfg2 = AlignConfig(batch_size=16, checkpoint=True, checkpoint_every=1,
+                       sort_max_records=24, resume=True)
+    outs = align_fastq(REF, str(d / "a1.fq"), str(d / "a2.fq"),
+                       out_prefix=pref, config=cfg2)
+    for k in ("bam", "splitters.bam", "discordants.bam"):
+        with open(ref_out[k], "rb") as a, open(outs[k], "rb") as b:
+            assert a.read() == b.read(), k
