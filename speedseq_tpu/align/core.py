@@ -478,6 +478,121 @@ def fused_align_step(
     return tuple(out)
 
 
+# ------------------------------------------------------- packed device I/O
+
+# meta row indices for pack_fused/unpack_fused (single (R,B,S) i32 field set)
+_META_FIELDS = (
+    "pos", "strand", "score", "qbeg", "qend", "rend_pos", "n_ops", "rstart",
+    "nm", "sub", "sub_n",
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_chains", "stride", "min_seed_len", "max_hits", "params",
+        "use_pallas", "paired", "score_mode",
+    ),
+)
+def fused_align_packed(
+    fm: FMIndex,
+    reads1: jnp.ndarray,
+    lengths1: jnp.ndarray,
+    reads2: Optional[jnp.ndarray] = None,
+    lengths2: Optional[jnp.ndarray] = None,
+    distro: Optional[jnp.ndarray] = None,
+    n_chains: int = 4,
+    stride: int = 8,
+    min_seed_len: int = 19,
+    max_hits: int = 4,
+    params: SWParams = SWParams(),
+    use_pallas: bool = False,
+    paired: bool = True,
+    kidx=None,
+    score_mode: str = "weight",
+):
+    """fused_align_step with outputs packed for ONE device→host fetch.
+
+    The relay's per-array fetch latency (~0.2 s regardless of size,
+    docs/PERF_NOTES.md) dominates when the step returns ~30 leaves; this
+    variant concatenates everything into three arrays:
+
+      meta:  (E, 11, B, S) int32 — rows per _META_FIELDS (sub/sub_n
+             broadcast over the slot dim)
+      cigar: (E, B, S, MAX_OPS) int32 — BAM-packed ``len<<4|op`` with the
+             soft clips NOT included (host adds them from qbeg/qend)
+      stats: (E, 4, B, K) int32 — phase-1 pos/strand/score/rend for
+             insert-distro estimation (fetched only on estimation batches)
+
+    E = 2 ends when paired else 1.  Requires the pallas traceback path
+    (kernel NM); the unpacked fused_align_step remains for the
+    refwin-on-host fallback.
+    """
+    res = fused_align_step(
+        fm, reads1, lengths1, reads2, lengths2, distro=distro,
+        n_chains=n_chains, stride=stride, min_seed_len=min_seed_len,
+        max_hits=max_hits, params=params, use_pallas=use_pallas,
+        paired=paired, kidx=kidx, score_mode=score_mode,
+    )
+    metas, cigars, stats = [], [], []
+    for end in res:
+        if end is None:
+            continue
+        cand, sub, sub_n, sc = end
+        B, S = cand.pos.shape
+        sub_b = jnp.broadcast_to(sub[:, None], (B, S))
+        sub_n_b = jnp.broadcast_to(sub_n[:, None], (B, S))
+        metas.append(jnp.stack([
+            cand.pos, cand.strand, cand.score, cand.qbeg, cand.qend,
+            cand.rend_pos, cand.n_ops, cand.rstart, cand.nm,
+            sub_b, sub_n_b,
+        ]))
+        valid = (
+            jnp.arange(cand.cigar_ops.shape[-1])[None, None, :]
+            < cand.n_ops[..., None]
+        )
+        packed = jnp.where(
+            valid,
+            (cand.cigar_len << 4) | cand.cigar_ops.astype(jnp.int32),
+            0,
+        )
+        cigars.append(packed)
+        stats.append(jnp.stack([sc.pos, sc.strand, sc.score, sc.rend_pos]))
+    return jnp.stack(metas), jnp.stack(cigars), jnp.stack(stats)
+
+
+class PackedEnd(NamedTuple):
+    """Host-side view of one end's packed fused output (numpy arrays)."""
+
+    pos: np.ndarray
+    strand: np.ndarray
+    score: np.ndarray
+    qbeg: np.ndarray
+    qend: np.ndarray
+    rend_pos: np.ndarray
+    n_ops: np.ndarray
+    rstart: np.ndarray
+    nm: np.ndarray
+    sub: np.ndarray      # (B,)
+    sub_n: np.ndarray    # (B,)
+    cigar_ops: np.ndarray   # (B, S, MAX_OPS) int32 op codes
+    cigar_len: np.ndarray   # (B, S, MAX_OPS) int32 lengths
+
+
+def unpack_fused(meta: np.ndarray, cigar: np.ndarray) -> list:
+    """Split fetched packed arrays into per-end host views (zero-copy)."""
+    out = []
+    for e in range(meta.shape[0]):
+        m = meta[e]
+        out.append(PackedEnd(
+            pos=m[0], strand=m[1], score=m[2], qbeg=m[3], qend=m[4],
+            rend_pos=m[5], n_ops=m[6], rstart=m[7], nm=m[8],
+            sub=m[9][:, 0], sub_n=m[10][:, 0],
+            cigar_ops=cigar[e] & 0xF, cigar_len=cigar[e] >> 4,
+        ))
+    return out
+
+
 # ---------------------------------------------------------------- host side
 
 class HostAlignment(NamedTuple):

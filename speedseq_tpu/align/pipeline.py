@@ -41,13 +41,10 @@ from ..index.fm import FMIndex
 from .core import (
     Candidates,
     HostAlignment,
-    align_candidates,
-    choose_candidates,
-    extend_candidates,
     finalize_alignments,
+    fused_align_packed,
     fused_align_step,
-    score_candidates,
-    select_alignments,
+    unpack_fused,
 )
 from .markdup import (
     StreamDupMarker, make_sa_tag, split_qualifies, strip_seq, unclipped_5p,
@@ -276,78 +273,77 @@ def align_stream(
         distro_arr = jnp.asarray(
             [distro.mean, distro.std, distro.low, distro.high], jnp.float32
         )
-    for bi, (b1, b2) in enumerate(prefetch(batch_iter)):
-        if bi < done_batches:
-            continue
-        n = b1.n
-        batches = [b1] + ([b2] if b2 is not None else [])
-        seqs_p, lens_p = [], []
-        for bb in batches:
-            seqs_p.append(_pad_batch(bb.seq, cfg.batch_size))
-            lens_p.append(_pad_batch(bb.length[:, None], cfg.batch_size)[:, 0])
-        is_paired_batch = paired and b2 is not None
-        res = fused_align_step(
-            fm,
-            seqs_p[0], lens_p[0],
-            seqs_p[1] if is_paired_batch else None,
-            lens_p[1] if is_paired_batch else None,
-            distro=distro_arr,
-            n_chains=cfg.n_chains,
-            min_seed_len=cfg.min_seed_len,
-            use_pallas=use_pallas,
-            paired=is_paired_batch,
-            kidx=kidx,
-        )
-        # ---- ONE device→host transfer per batch -----------------------
-        # individual np.asarray syncs cost ~0.5 s each on the relay
-        # (docs/PERF_NOTES.md); device_get of the whole needed pytree pays
-        # the sync once.  refwin (the big buffer) stays on device when the
-        # kernel supplied NM (pallas path).
-        # insert distro: estimated from the first batch and re-estimated
-        # every distro_update_every batches (bwa's per-chunk re-estimation
-        # contract, README.md:203-207); -I pins it (insert_override)
-        est_distro = (
-            is_paired_batch and cfg.insert_override is None
-            and (distro is None or bi % cfg.distro_update_every == 0)
-        )
-        to_fetch = []
-        for which in range(len(batches)):
-            cand, sub, sub_n, sc = res[which]
-            slim = cand
-            if use_pallas:
-                dummy = jnp.zeros((1, 1, 1), jnp.uint8)
-                slim = cand._replace(refwin=dummy)
-            to_fetch.append((
-                slim, sub, sub_n,
-                (sc.pos, sc.strand, sc.score, sc.rend_pos)
-                if est_distro else None,
-            ))
-        fetched = jax.device_get(to_fetch)
-        if est_distro:
-            import types
 
-            mk = lambda t: types.SimpleNamespace(
-                pos=t[0], strand=t[1], score=t[2], rend_pos=t[3])
-            distro = _estimate_distro(
-                mk(fetched[0][3]), mk(fetched[1][3]), cfg, fallback=distro
+    def _drain(item) -> None:
+        """Fetch one dispatched batch (ONE device→host transfer: the
+        relay's per-array sync costs ~0.2-0.5 s regardless of size,
+        docs/PERF_NOTES.md) and run the host epilogue."""
+        nonlocal distro, distro_arr, n_reads
+        bi = item["bi"]
+        batches = item["batches"]
+        seqs_p, lens_p = item["seqs_p"], item["lens_p"]
+        is_paired_batch = item["is_paired"]
+        est_distro = item["est_distro"]
+        n = batches[0].n
+        if use_pallas:
+            meta_d, cigar_d, stats_d = item["res"]
+            fetched = jax.device_get(
+                (meta_d, cigar_d) + ((stats_d,) if est_distro else ())
             )
+            ends = unpack_fused(fetched[0], fetched[1])
+            if est_distro:
+                import types
+
+                mk = lambda s: types.SimpleNamespace(
+                    pos=s[0], strand=s[1], score=s[2], rend_pos=s[3])
+                distro = _estimate_distro(
+                    mk(fetched[2][0]), mk(fetched[2][1]), cfg,
+                    fallback=distro,
+                )
+            sels = [
+                finalize_alignments(
+                    pe, seqs_p[w], lens_p[w], pe.sub, pe.sub_n
+                )
+                for w, pe in enumerate(ends)
+            ]
+        else:
+            # refwin-on-host fallback (no kernel NM): unpacked fetch
+            res = item["res"]
+            to_fetch = []
+            for which in range(len(batches)):
+                cand, sub, sub_n, sc = res[which]
+                to_fetch.append((
+                    cand, sub, sub_n,
+                    (sc.pos, sc.strand, sc.score, sc.rend_pos)
+                    if est_distro else None,
+                ))
+            fetched = jax.device_get(to_fetch)
+            if est_distro:
+                import types
+
+                mk = lambda t: types.SimpleNamespace(
+                    pos=t[0], strand=t[1], score=t[2], rend_pos=t[3])
+                distro = _estimate_distro(
+                    mk(fetched[0][3]), mk(fetched[1][3]), cfg,
+                    fallback=distro,
+                )
+            sels = [
+                finalize_alignments(
+                    fetched[w][0], seqs_p[w], lens_p[w],
+                    np.asarray(fetched[w][1]), np.asarray(fetched[w][2]),
+                )
+                for w in range(len(batches))
+            ]
+        if est_distro:
             distro_arr = jnp.asarray(
-                [distro.mean, distro.std, distro.low, distro.high], jnp.float32
+                [distro.mean, distro.std, distro.low, distro.high],
+                jnp.float32,
             )
             if cfg.verbose:
                 print(
                     f"[align] insert distro mean={distro.mean:.1f} "
                     f"std={distro.std:.1f} bounds=[{distro.low},{distro.high}]"
                 )
-        sels = []
-        for which in range(len(batches)):
-            cand_np, sub, sub_n, _ = fetched[which]
-            sels.append(
-                finalize_alignments(
-                    cand_np, seqs_p[which], lens_p[which],
-                    np.asarray(sub), np.asarray(sub_n),
-                )
-            )
 
         rows_b: List[List[_PairRow]] = [[], []]
         for which, (bb, sel) in enumerate(zip(batches, sels)):
@@ -389,6 +385,57 @@ def align_stream(
         n_reads += n * len(batches)
         if cfg.checkpoint and (bi + 1) % cfg.checkpoint_every == 0:
             _save_ckpt(bi)
+
+    # dispatch-ahead double buffering: the device computes batch i+1 while
+    # the host runs batch i's epilogue (JAX async dispatch) — the TPU-native
+    # replacement for the reference's co-scheduled pipelines + mbuffer
+    # (bin/speedseq:449,1960)
+    pending = None
+    for bi, (b1, b2) in enumerate(prefetch(batch_iter)):
+        if bi < done_batches:
+            continue
+        n = b1.n
+        batches = [b1] + ([b2] if b2 is not None else [])
+        seqs_p, lens_p = [], []
+        for bb in batches:
+            seqs_p.append(_pad_batch(bb.seq, cfg.batch_size))
+            lens_p.append(_pad_batch(bb.length[:, None], cfg.batch_size)[:, 0])
+        is_paired_batch = paired and b2 is not None
+        # insert distro: estimated from the first batch and re-estimated
+        # every distro_update_every batches (bwa's per-chunk re-estimation
+        # contract, README.md:203-207); -I pins it (insert_override)
+        est_distro = (
+            is_paired_batch and cfg.insert_override is None
+            and (distro is None or bi % cfg.distro_update_every == 0)
+        )
+        step = fused_align_packed if use_pallas else fused_align_step
+        res = step(
+            fm,
+            seqs_p[0], lens_p[0],
+            seqs_p[1] if is_paired_batch else None,
+            lens_p[1] if is_paired_batch else None,
+            distro=distro_arr,
+            n_chains=cfg.n_chains,
+            min_seed_len=cfg.min_seed_len,
+            use_pallas=use_pallas,
+            paired=is_paired_batch,
+            kidx=kidx,
+        )
+        item = {
+            "bi": bi, "batches": batches, "seqs_p": seqs_p, "lens_p": lens_p,
+            "is_paired": is_paired_batch, "est_distro": est_distro,
+            "res": res,
+        }
+        if pending is not None:
+            _drain(pending)
+        pending = item
+        if distro is None and is_paired_batch and cfg.insert_override is None:
+            # drain the first batch immediately so batch 1+ device pair
+            # selection runs with a real insert distro
+            _drain(pending)
+            pending = None
+    if pending is not None:
+        _drain(pending)
 
     if os.path.exists(ckpt_path):
         os.remove(ckpt_path)
