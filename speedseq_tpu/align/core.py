@@ -551,11 +551,13 @@ def fused_align_packed(
             jnp.arange(cand.cigar_ops.shape[-1])[None, None, :]
             < cand.n_ops[..., None]
         )
+        # int16 halves the dominant d2h payload: op len ≤ read length
+        # (< 2^11), so len<<4|op fits in 15 bits
         packed = jnp.where(
             valid,
             (cand.cigar_len << 4) | cand.cigar_ops.astype(jnp.int32),
             0,
-        )
+        ).astype(jnp.int16)
         cigars.append(packed)
         stats.append(jnp.stack([sc.pos, sc.strand, sc.score, sc.rend_pos]))
     return jnp.stack(metas), jnp.stack(cigars), jnp.stack(stats)
@@ -588,7 +590,8 @@ def unpack_fused(meta: np.ndarray, cigar: np.ndarray) -> list:
             pos=m[0], strand=m[1], score=m[2], qbeg=m[3], qend=m[4],
             rend_pos=m[5], n_ops=m[6], rstart=m[7], nm=m[8],
             sub=m[9][:, 0], sub_n=m[10][:, 0],
-            cigar_ops=cigar[e] & 0xF, cigar_len=cigar[e] >> 4,
+            cigar_ops=cigar[e] & 0xF,
+            cigar_len=cigar[e].astype(np.int32) >> 4,
         ))
     return out
 
@@ -706,6 +709,30 @@ def mapq_from_scores(
     return int(mapq * (1.0 - frac_rep) + 0.499)
 
 
+def mapq_vec(
+    score: np.ndarray, sub: np.ndarray, sub_n: np.ndarray, qlen: np.ndarray,
+    min_seed_len: int = 19, params: SWParams = SWParams(),
+) -> np.ndarray:
+    """Vectorized mapq_from_scores over (B, S) arrays (same math; the
+    scalar form costs ~0.5 s per 80k reads on the epilogue hot path)."""
+    a, b = params.match, params.mismatch
+    score = score.astype(np.float64)
+    sub = np.maximum(sub, min_seed_len * a).astype(np.float64)
+    # padded lanes have qlen 0; clamp (their mapq is masked to 0 anyway
+    # via score==0)
+    l = np.maximum(qlen.astype(np.float64), 1.0)
+    if score.ndim == 2:
+        l = l[:, None]
+    identity = 1.0 - (l * a - score) / (a + b) / l
+    tmp = np.where(l < 50.0, 1.0, np.log(50.0) / np.log(np.maximum(l, 2.0)))
+    tmp = tmp * identity * identity
+    mapq = (_MAPQ_COEF * (score - sub) / a * tmp * tmp + 0.499).astype(np.int64)
+    pen = (4.343 * np.log(sub_n + 1.0) + 0.499).astype(np.int64)
+    mapq = np.where(sub_n > 0, mapq - pen, mapq)
+    mapq = np.where((sub >= score) | (score == 0), 0, mapq)
+    return np.clip(mapq, 0, 60).astype(np.int32)
+
+
 def _cigar_with_clips(ops, lens, n_ops, qbeg, qend, qlen):
     cig = []
     if qbeg > 0:
@@ -783,7 +810,17 @@ def finalize_alignments(
             lazy["rs"] = np.asarray(cand.rstart)
         return lazy["rw"], lazy["rs"]
 
-    B = score.shape[0]
+    B, S = score.shape
+    # vectorized MAPQ: slot 0 uses the real sub/sub_n stats; supplementary
+    # slots use sub=0/sub_n=0 (bwa treats supplementary pieces the same)
+    sub_full = np.zeros((B, S), np.int64)
+    sub_full[:, 0] = sub
+    sub_n_full = np.zeros((B, S), np.int64)
+    sub_n_full[:, 0] = sub_n
+    mapq_all = mapq_vec(
+        np.asarray(score), sub_full, sub_n_full, np.asarray(lengths_np),
+        min_seed_len, params,
+    )
     unaligned = HostAlignment(-1, 0, 0, 0, 0, 0, [], 0, "", -1, False)
     out = []
     for b in range(B):
@@ -791,7 +828,7 @@ def finalize_alignments(
 
         def fin(k, sb, sn):
             s = int(score[b, k])
-            mapq = mapq_from_scores(s, sb, sn, qlen, min_seed_len, params)
+            mapq = int(mapq_all[b, k])
             cig = _cigar_with_clips(
                 ops[b, k], lens[b, k], int(n_ops[b, k]),
                 int(qbeg[b, k]), int(qend[b, k]), qlen,

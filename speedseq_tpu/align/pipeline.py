@@ -141,11 +141,17 @@ _BASE_CHARS = np.frombuffer(b"ACGTN", dtype=np.uint8)
 
 @dataclass
 class _PairRow:
-    """Host record of one read end (primary + optional supplementary)."""
+    """Host record of one read end (primary + optional supplementary).
+
+    seq_rc/qual_r are the reverse-complemented/reversed forms, computed
+    vectorized per batch (per-read Python revcomp was a top-3 epilogue
+    cost, docs/PERF_NOTES.md)."""
 
     name: str
     seq: str
     qual: str
+    seq_rc: str
+    qual_r: str
     aln: HostAlignment
     supp: Optional[HostAlignment]
     tid: int
@@ -274,10 +280,16 @@ def align_stream(
             [distro.mean, distro.std, distro.low, distro.high], jnp.float32
         )
 
+    import types
+    from concurrent.futures import ThreadPoolExecutor
+
+    # a 1-thread fetch pool lets the d2h transfer of batch i overlap the
+    # host epilogue of batch i-1 (the relay transfer is ~0.3-0.7 s/batch)
+    fetch_pool = ThreadPoolExecutor(max_workers=1)
+
     def _drain(item) -> None:
-        """Fetch one dispatched batch (ONE device→host transfer: the
-        relay's per-array sync costs ~0.2-0.5 s regardless of size,
-        docs/PERF_NOTES.md) and run the host epilogue."""
+        """Consume one dispatched batch: one (already in-flight) fetch,
+        then the host epilogue."""
         nonlocal distro, distro_arr, n_reads
         bi = item["bi"]
         batches = item["batches"]
@@ -285,15 +297,10 @@ def align_stream(
         is_paired_batch = item["is_paired"]
         est_distro = item["est_distro"]
         n = batches[0].n
+        fetched = item["fut"].result()
         if use_pallas:
-            meta_d, cigar_d, stats_d = item["res"]
-            fetched = jax.device_get(
-                (meta_d, cigar_d) + ((stats_d,) if est_distro else ())
-            )
             ends = unpack_fused(fetched[0], fetched[1])
             if est_distro:
-                import types
-
                 mk = lambda s: types.SimpleNamespace(
                     pos=s[0], strand=s[1], score=s[2], rend_pos=s[3])
                 distro = _estimate_distro(
@@ -307,20 +314,7 @@ def align_stream(
                 for w, pe in enumerate(ends)
             ]
         else:
-            # refwin-on-host fallback (no kernel NM): unpacked fetch
-            res = item["res"]
-            to_fetch = []
-            for which in range(len(batches)):
-                cand, sub, sub_n, sc = res[which]
-                to_fetch.append((
-                    cand, sub, sub_n,
-                    (sc.pos, sc.strand, sc.score, sc.rend_pos)
-                    if est_distro else None,
-                ))
-            fetched = jax.device_get(to_fetch)
             if est_distro:
-                import types
-
                 mk = lambda t: types.SimpleNamespace(
                     pos=t[0], strand=t[1], score=t[2], rend_pos=t[3])
                 distro = _estimate_distro(
@@ -348,9 +342,17 @@ def align_stream(
         rows_b: List[List[_PairRow]] = [[], []]
         for which, (bb, sel) in enumerate(zip(batches, sels)):
             rows = rows_b[which]
-            # vectorized per-batch decodes (chr/qual tables + batch tids)
-            seq_chars = _BASE_CHARS[np.minimum(bb.seq[:n], 4)]
+            # vectorized per-batch decodes (chr/qual tables + batch tids +
+            # per-length reverse complement)
+            codes = np.minimum(bb.seq[:n], 4)
+            seq_chars = _BASE_CHARS[codes]
             qual_chars = (np.minimum(bb.qual[:n], 93) + 33).astype(np.uint8)
+            Lmax = codes.shape[1]
+            ridx = bb.length[:n, None] - 1 - np.arange(Lmax)[None, :]
+            safe = np.clip(ridx, 0, Lmax - 1)
+            rvals = np.take_along_axis(codes, safe, axis=1)
+            rc_chars = _BASE_CHARS[np.where(rvals < 4, 3 - rvals, 4)]
+            rq_chars = np.take_along_axis(qual_chars, safe, axis=1)
             prim_pos = np.asarray(
                 [sel[i][0].pos if sel[i][0].aligned else 0 for i in range(n)],
                 dtype=np.int64,
@@ -366,6 +368,8 @@ def align_stream(
                         name=bb.names[i],
                         seq=seq_chars[i, :L].tobytes().decode(),
                         qual=qual_chars[i, :L].tobytes().decode(),
+                        seq_rc=rc_chars[i, :L].tobytes().decode(),
+                        qual_r=rq_chars[i, :L].tobytes().decode(),
                         aln=prim,
                         supp=supp,
                         tid=int(tids[i]) if prim.aligned else -1,
@@ -421,10 +425,23 @@ def align_stream(
             paired=is_paired_batch,
             kidx=kidx,
         )
+        if use_pallas:
+            meta_d, cigar_d, stats_d = res
+            fetch_args = (meta_d, cigar_d) + (
+                (stats_d,) if est_distro else ())
+        else:
+            fetch_args = tuple(
+                (
+                    res[w][0], res[w][1], res[w][2],
+                    (res[w][3].pos, res[w][3].strand, res[w][3].score,
+                     res[w][3].rend_pos) if est_distro else None,
+                )
+                for w in range(len(batches))
+            )
         item = {
             "bi": bi, "batches": batches, "seqs_p": seqs_p, "lens_p": lens_p,
             "is_paired": is_paired_batch, "est_distro": est_distro,
-            "res": res,
+            "fut": fetch_pool.submit(jax.device_get, fetch_args),
         }
         if pending is not None:
             _drain(pending)
@@ -436,6 +453,7 @@ def align_stream(
             pending = None
     if pending is not None:
         _drain(pending)
+    fetch_pool.shutdown(wait=False)
 
     if os.path.exists(ckpt_path):
         os.remove(ckpt_path)
@@ -508,11 +526,6 @@ def _lib_map(rg_lines: Optional[List[str]], cfg: AlignConfig) -> Dict[str, int]:
         lb = d.get("LB", rid)
         out[rid] = libs.setdefault(lb, len(libs))
     return out
-
-
-def _revcomp_str(s: str) -> str:
-    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
-    return "".join(comp.get(c, "N") for c in reversed(s))
 
 
 def assemble_records(
@@ -680,8 +693,8 @@ def _pair_records(
             else:
                 tlen = -(right - left)
 
-        seq = r.seq if not (a.aligned and a.strand) else _revcomp_str(r.seq)
-        qual = r.qual if not (a.aligned and a.strand) else r.qual[::-1]
+        seq = r.seq if not (a.aligned and a.strand) else r.seq_rc
+        qual = r.qual if not (a.aligned and a.strand) else r.qual_r
         tags = []
         if a.aligned:
             # MD only when the host computed it (bwa mem itself emits no MD;
@@ -734,8 +747,8 @@ def _pair_records(
                 sflag |= FREVERSE
             else:
                 sflag &= ~FREVERSE
-            sseq = r.seq if not r.supp.strand else _revcomp_str(r.seq)
-            squal = r.qual if not r.supp.strand else r.qual[::-1]
+            sseq = r.seq if not r.supp.strand else r.seq_rc
+            squal = r.qual if not r.supp.strand else r.qual_r
             stags = [
                 ("NM", "i", r.supp.nm),
                 *([("MD", "Z", r.supp.md)] if r.supp.md else []),

@@ -78,12 +78,17 @@ def iter_records(path: str) -> Iterator[Tuple[str, str, bytes, bytes]]:
 
 def _batch(records, max_len: int) -> ReadBatch:
     n = len(records)
-    seq = np.full((n, max_len), 4, dtype=np.uint8)
-    qual = np.zeros((n, max_len), dtype=np.uint8)
+    # size the batch to the data: width = actual max read length rounded
+    # up to 16 (bounds the number of distinct compiled shapes while not
+    # paying kernel width for a 151 bp cap on 100 bp data)
+    width = max((len(r[2]) for r in records), default=1)
+    width = min(max_len, ((width + 15) // 16) * 16)
+    seq = np.full((n, width), 4, dtype=np.uint8)
+    qual = np.zeros((n, width), dtype=np.uint8)
     length = np.zeros(n, dtype=np.int32)
     names, comments = [], []
     for i, (name, comment, s, q) in enumerate(records):
-        L = min(len(s), max_len)
+        L = min(len(s), width)
         seq[i, :L] = encode_bases(s[:L])
         qual[i, :L] = np.frombuffer(q[:L], dtype=np.uint8) - 33
         length[i] = L
