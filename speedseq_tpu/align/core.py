@@ -779,7 +779,7 @@ def _nm_md(cigar, query, refwin, qbeg, rbeg):
 
 
 def finalize_alignments(
-    cand: Candidates,
+    cand,
     reads_np: np.ndarray,
     lengths_np: np.ndarray,
     sub: np.ndarray,
@@ -787,9 +787,15 @@ def finalize_alignments(
     params: SWParams = SWParams(),
     min_seed_len: int = 19,
     min_out_score: int = 30,
+    host_ref: Optional[np.ndarray] = None,
 ) -> list:
     """Finalize the 2-slot extend output (slot 0 primary, slot 1 supp)
-    into (HostAlignment, Optional[HostAlignment]) per read."""
+    into (HostAlignment, Optional[HostAlignment]) per read.
+
+    ``cand`` is a Candidates (device fetch with refwin) or a PackedEnd
+    (packed fetch).  When the kernel didn't supply NM (non-pallas path),
+    NM/MD are recomputed on host — from cand.refwin if present, else from
+    ``host_ref`` (the unpacked forward reference, BWAIndex.pac)."""
     pos = np.asarray(cand.pos)
     strand = np.asarray(cand.strand)
     score = np.asarray(cand.score)
@@ -836,14 +842,19 @@ def finalize_alignments(
             if knm[b, k] >= 0:
                 nm, md = int(knm[b, k]), ""
             else:
-                refwin, rstart = _refwin()
                 q = reads_np[b][:qlen].astype(np.int32)
                 if strand[b, k] == 1:
                     qr = q[::-1]
                     q = np.where(qr < 4, 3 - qr, 4)
+                if hasattr(cand, "refwin"):
+                    refwin, rstart = _refwin()
+                    win, ri = refwin[b, k], int(pos[b, k] - rstart[b, k])
+                else:
+                    p = int(pos[b, k])
+                    win, ri = host_ref[p:int(rend[b, k])], 0
                 nm, md = _nm_md(
-                    [c for c in cig if c[0] != 4], q, refwin[b, k],
-                    int(qbeg[b, k]), int(pos[b, k] - rstart[b, k]),
+                    [c for c in cig if c[0] != 4], q, win,
+                    int(qbeg[b, k]), ri,
                 )
             return HostAlignment(
                 pos=int(pos[b, k]), strand=int(strand[b, k]), score=s,

@@ -43,7 +43,6 @@ from .core import (
     HostAlignment,
     finalize_alignments,
     fused_align_packed,
-    fused_align_step,
     unpack_fused,
 )
 from .markdup import (
@@ -283,6 +282,16 @@ def align_stream(
     import types
     from concurrent.futures import ThreadPoolExecutor
 
+    # multi-chip: shard the fused step over the mesh data axis (the
+    # single-chip relay exposes 1 device; multi-chip slices and the
+    # virtual CPU mesh take this path)
+    mesh = None
+    if jax.device_count() > 1:
+        from ..parallel.mesh import make_mesh
+
+        if cfg.batch_size % jax.device_count() == 0:
+            mesh = make_mesh()
+
     # a 1-thread fetch pool lets the d2h transfer of batch i overlap the
     # host epilogue of batch i-1 (the relay transfer is ~0.3-0.7 s/batch)
     fetch_pool = ThreadPoolExecutor(max_workers=1)
@@ -298,36 +307,21 @@ def align_stream(
         est_distro = item["est_distro"]
         n = batches[0].n
         fetched = item["fut"].result()
-        if use_pallas:
-            ends = unpack_fused(fetched[0], fetched[1])
-            if est_distro:
-                mk = lambda s: types.SimpleNamespace(
-                    pos=s[0], strand=s[1], score=s[2], rend_pos=s[3])
-                distro = _estimate_distro(
-                    mk(fetched[2][0]), mk(fetched[2][1]), cfg,
-                    fallback=distro,
-                )
-            sels = [
-                finalize_alignments(
-                    pe, seqs_p[w], lens_p[w], pe.sub, pe.sub_n
-                )
-                for w, pe in enumerate(ends)
-            ]
-        else:
-            if est_distro:
-                mk = lambda t: types.SimpleNamespace(
-                    pos=t[0], strand=t[1], score=t[2], rend_pos=t[3])
-                distro = _estimate_distro(
-                    mk(fetched[0][3]), mk(fetched[1][3]), cfg,
-                    fallback=distro,
-                )
-            sels = [
-                finalize_alignments(
-                    fetched[w][0], seqs_p[w], lens_p[w],
-                    np.asarray(fetched[w][1]), np.asarray(fetched[w][2]),
-                )
-                for w in range(len(batches))
-            ]
+        ends = unpack_fused(fetched[0], fetched[1])
+        if est_distro:
+            mk = lambda s: types.SimpleNamespace(
+                pos=s[0], strand=s[1], score=s[2], rend_pos=s[3])
+            distro = _estimate_distro(
+                mk(fetched[2][0]), mk(fetched[2][1]), cfg,
+                fallback=distro,
+            )
+        sels = [
+            finalize_alignments(
+                pe, seqs_p[w], lens_p[w], pe.sub, pe.sub_n,
+                host_ref=idx.pac,
+            )
+            for w, pe in enumerate(ends)
+        ]
         if est_distro:
             distro_arr = jnp.asarray(
                 [distro.mean, distro.std, distro.low, distro.high],
@@ -412,32 +406,38 @@ def align_stream(
             is_paired_batch and cfg.insert_override is None
             and (distro is None or bi % cfg.distro_update_every == 0)
         )
-        step = fused_align_packed if use_pallas else fused_align_step
-        res = step(
-            fm,
-            seqs_p[0], lens_p[0],
-            seqs_p[1] if is_paired_batch else None,
-            lens_p[1] if is_paired_batch else None,
-            distro=distro_arr,
-            n_chains=cfg.n_chains,
-            min_seed_len=cfg.min_seed_len,
-            use_pallas=use_pallas,
-            paired=is_paired_batch,
-            kidx=kidx,
-        )
-        if use_pallas:
-            meta_d, cigar_d, stats_d = res
-            fetch_args = (meta_d, cigar_d) + (
-                (stats_d,) if est_distro else ())
+        if mesh is not None:
+            # multi-chip: the same fused graph sharded over the data axis
+            # (parallel.mesh); packed outputs gather into identical host
+            # arrays, so the epilogue is shard-count agnostic
+            from ..parallel.mesh import distributed_fused_step
+
+            res = distributed_fused_step(
+                mesh, fm,
+                seqs_p[0], lens_p[0],
+                seqs_p[1] if is_paired_batch else None,
+                lens_p[1] if is_paired_batch else None,
+                distro=distro_arr,
+                n_chains=cfg.n_chains,
+                min_seed_len=cfg.min_seed_len,
+                use_pallas=use_pallas,
+                kidx=kidx,
+            )[:3]
         else:
-            fetch_args = tuple(
-                (
-                    res[w][0], res[w][1], res[w][2],
-                    (res[w][3].pos, res[w][3].strand, res[w][3].score,
-                     res[w][3].rend_pos) if est_distro else None,
-                )
-                for w in range(len(batches))
+            res = fused_align_packed(
+                fm,
+                seqs_p[0], lens_p[0],
+                seqs_p[1] if is_paired_batch else None,
+                lens_p[1] if is_paired_batch else None,
+                distro=distro_arr,
+                n_chains=cfg.n_chains,
+                min_seed_len=cfg.min_seed_len,
+                use_pallas=use_pallas,
+                paired=is_paired_batch,
+                kidx=kidx,
             )
+        meta_d, cigar_d, stats_d = res
+        fetch_args = (meta_d, cigar_d) + ((stats_d,) if est_distro else ())
         item = {
             "bi": bi, "batches": batches, "seqs_p": seqs_p, "lens_p": lens_p,
             "is_paired": is_paired_batch, "est_distro": est_distro,

@@ -1,9 +1,15 @@
-"""Mesh construction + sharded alignment step.
+"""Mesh construction + the sharded production alignment step.
 
 Replaces the reference's process-level parallelism (GNU parallel -j,
 bin/speedseq:449,719) with a ``jax.sharding.Mesh`` data axis: read batches
-are sharded over devices, the FM-index is replicated, per-shard stats
-reduce with ``psum`` over ICI.
+are sharded over devices, the FM/k-mer indexes are replicated, per-shard
+aligned-read counts reduce with ``psum`` over ICI.
+
+The sharded step IS the production step: ``align.core.fused_align_packed``
+(weight phase-1 → joint pair selection → split detection → phase-2
+extension → packed outputs), so a multi-chip run exercises exactly the
+same device graph as the single-chip pipeline and produces identical
+records (tests/test_backend.py asserts 1-device vs 8-device equality).
 """
 
 from __future__ import annotations
@@ -17,8 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.fm import FMIndex
-from ..align.core import Candidates, align_candidates
-from ..align.sw import SWParams
+from ..align.core import fused_align_packed
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
@@ -42,42 +47,84 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
-class AlignStepStats(NamedTuple):
-    n_aligned: jnp.ndarray   # () int32, global (psum over mesh)
-    total_score: jnp.ndarray
+_step_cache: dict = {}
 
 
-def distributed_align_step(
-    mesh: Mesh,
-    fm: FMIndex,
-    reads: jnp.ndarray,
-    lengths: jnp.ndarray,
-    n_chains: int = 4,
-    axis: str = "data",
-) -> Tuple[Candidates, AlignStepStats]:
-    """One data-parallel alignment step over the mesh.
+def _build_step(mesh: Mesh, axis: str, paired: bool, n_chains: int,
+                min_seed_len: int, use_pallas: bool, has_kidx: bool):
+    """Compile-cached shard_map'd fused step for one (mesh, config)."""
+    key = (mesh, axis, paired, n_chains, min_seed_len, use_pallas, has_kidx)
+    fn = _step_cache.get(key)
+    if fn is not None:
+        return fn
 
-    reads/lengths sharded on the batch dim; fm replicated; returns
-    per-shard candidates (still sharded) + psum-reduced global stats.
-    """
+    E = 2 if paired else 1
+    reads_specs = (P(axis), P(axis)) * E
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis)),
-        out_specs=(P(axis), P()),
+        in_specs=(P(), P(), P()) + reads_specs,
+        out_specs=(
+            P(None, None, axis),   # meta  (E, 11, B, S)
+            P(None, axis),         # cigar (E, B, S, MAX_OPS)
+            P(None, None, axis),   # stats (E, 4, B, K)
+            P(),                   # n_aligned (psum-reduced scalar)
+        ),
     )
-    def step(fm_, reads_, lengths_):
-        cand = align_candidates(fm_, reads_, lengths_, n_chains=n_chains)
-        best = jnp.max(cand.score, axis=1)
-        stats = AlignStepStats(
-            n_aligned=jax.lax.psum(
-                jnp.sum((best >= 30).astype(jnp.int32)), axis
-            ),
-            total_score=jax.lax.psum(jnp.sum(best), axis),
+    def step(fm_, kidx_, distro_, r1, l1, *rest):
+        r2, l2 = (rest[0], rest[1]) if paired else (None, None)
+        meta, cigar, stats = fused_align_packed(
+            fm_, r1, l1, r2, l2, distro=distro_,
+            n_chains=n_chains, min_seed_len=min_seed_len,
+            use_pallas=use_pallas, paired=paired,
+            kidx=kidx_ if has_kidx else None,
         )
-        return cand, stats
+        # global aligned-read count over ICI (the reference's analog is
+        # each pipe reporting to the driver's stdout)
+        n_aligned = jax.lax.psum(
+            jnp.sum((meta[:, 2, :, 0] >= 30).astype(jnp.int32)), axis
+        )
+        return meta, cigar, stats, n_aligned
 
-    fm_r = replicate(mesh, fm)
-    reads_s, lengths_s = shard_batch(mesh, reads, lengths, axis=axis)
-    return step(fm_r, reads_s, lengths_s)
+    fn = jax.jit(step)
+    _step_cache[key] = fn
+    return fn
+
+
+def distributed_fused_step(
+    mesh: Mesh,
+    fm: FMIndex,
+    reads1: jnp.ndarray,
+    lengths1: jnp.ndarray,
+    reads2: Optional[jnp.ndarray] = None,
+    lengths2: Optional[jnp.ndarray] = None,
+    distro: Optional[jnp.ndarray] = None,
+    kidx=None,
+    n_chains: int = 4,
+    min_seed_len: int = 19,
+    use_pallas: bool = False,
+    axis: str = "data",
+):
+    """One data-parallel production alignment step over the mesh.
+
+    reads/lengths sharded on the batch dim (must divide the mesh size);
+    fm/kidx/distro replicated.  Returns (meta, cigar, stats, n_aligned)
+    with the same packed layout as ``fused_align_packed`` — the host
+    epilogue is shard-count agnostic.
+    """
+    paired = reads2 is not None
+    if distro is None:
+        distro = jnp.asarray([300.0, 100.0, 50.0, 700.0], jnp.float32)
+    n_dev = mesh.devices.size
+    assert reads1.shape[0] % n_dev == 0, (
+        f"batch {reads1.shape[0]} not divisible by mesh size {n_dev}"
+    )
+    step = _build_step(
+        mesh, axis, paired, n_chains, min_seed_len, use_pallas,
+        kidx is not None,
+    )
+    args = (fm, kidx, distro, reads1, lengths1)
+    if paired:
+        args += (reads2, lengths2)
+    return step(*args)
