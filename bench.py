@@ -41,29 +41,34 @@ def main():
     genome = FastaFile(ref).fetch_encoded("20_slice")
     B, L = 16384, 100
     _, s1, _, s2, _, _ = simulate_pairs(genome, B // 2, read_len=L, seed=0)
-    reads = np.concatenate([s1, s2]).astype(np.int32)
+    # 16-rounded batch width, exactly like the pipeline (formats.fastq)
+    W = ((L + 15) // 16) * 16
+    pad = lambda a: np.pad(
+        a.astype(np.uint8), ((0, 0), (0, W - L)), constant_values=4)
     lengths = np.full(B, L, dtype=np.int32)
 
-    from speedseq_tpu.align.core import fused_align_step
+    from speedseq_tpu.align.core import fused_align_packed
     from speedseq_tpu.align.sw import _pallas_ok
     import jax.numpy as jnp
 
     use_pallas = _pallas_ok()
-    r1 = jax.device_put(reads[: B // 2])
-    r2 = jax.device_put(reads[B // 2 :])
+    r1 = jax.device_put(pad(s1))
+    r2 = jax.device_put(pad(s2))
     l1 = jax.device_put(lengths[: B // 2])
     l2 = jax.device_put(lengths[B // 2 :])
     distro = jnp.asarray([320.0, 50.0, 120.0, 520.0], jnp.float32)
 
     def full_step():
-        """The real per-batch device work of the align pipeline: phase-1
-        scoring for both ends, joint pair selection, split detection,
-        phase-2 extension — one dispatch, one host transfer."""
-        res = fused_align_step(
+        """The real per-batch device work + transfer of the align
+        pipeline: phase-1 scoring for both ends, joint pair selection,
+        split detection, phase-2 extension with in-kernel traceback, and
+        the packed meta+cigar device→host fetch (align.pipeline fetches
+        exactly this per batch)."""
+        res = fused_align_packed(
             fm, r1, l1, r2, l2, distro=distro, use_pallas=use_pallas,
             kidx=kidx
         )
-        return np.asarray(res[0][0].score)
+        return jax.device_get((res[0], res[1]))
 
     full_step()  # warmup / compile
     iters = 3

@@ -155,13 +155,24 @@ def banded_sw_pallas(
     (ops/sw_pallas.py sw_pallas_cigar — the packed-dirs HBM round trip and
     the Lq+Lr-step XLA traceback loop are gone).  With ``with_nm`` returns
     (SWResult, nm) where nm is the edit distance along the path."""
-    from ..ops.sw_pallas import sw_pallas_cigar
+    from ..ops.sw_pallas import LANES, sw_pallas_cigar
 
     p = (params.match, params.mismatch, params.gap_open, params.gap_ext)
+    n0 = query.shape[0]
+    padn = (-n0) % LANES
+    if padn:
+        query = jnp.pad(query, ((0, padn), (0, 0)), constant_values=4)
+        qlen = jnp.pad(qlen, (0, padn))
+        ref = jnp.pad(ref, ((0, padn), (0, 0)), constant_values=4)
     (score, qbeg, qend, rbeg, rend, gscore, grend, ops, lens, n_ops,
      nm) = sw_pallas_cigar(
         query, qlen, ref, params=p, max_ops=max_ops, interpret=interpret
     )
+    if padn:
+        (score, qbeg, qend, rbeg, rend, gscore, grend, n_ops, nm) = (
+            a[:n0] for a in
+            (score, qbeg, qend, rbeg, rend, gscore, grend, n_ops, nm))
+        ops, lens = ops[:n0], lens[:n0]
     res = SWResult(
         score=score, qbeg=qbeg, qend=qend, rbeg=rbeg, rend=rend,
         cigar_ops=ops.astype(jnp.int8), cigar_len=lens, n_ops=n_ops,
@@ -177,12 +188,21 @@ def banded_sw_score_pallas(
     params: SWParams = SWParams(),
     interpret: bool = False,
 ) -> "SWScore":
-    from ..ops.sw_pallas import sw_pallas
+    from ..ops.sw_pallas import LANES, sw_pallas
 
     p = (params.match, params.mismatch, params.gap_open, params.gap_ext)
+    n0 = query.shape[0]
+    padn = (-n0) % LANES
+    if padn:
+        query = jnp.pad(query, ((0, padn), (0, 0)), constant_values=4)
+        qlen = jnp.pad(qlen, (0, padn))
+        ref = jnp.pad(ref, ((0, padn), (0, 0)), constant_values=4)
     score, qend, rend, gscore, grend = sw_pallas(
         query, qlen, ref, params=p, with_dirs=False, interpret=interpret
     )
+    if padn:
+        score, qend, rend, gscore, grend = (
+            a[:n0] for a in (score, qend, rend, gscore, grend))
     return SWScore(score=score, qend=qend, rend=rend, gscore=gscore, grend=grend)
 
 

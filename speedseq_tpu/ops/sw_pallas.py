@@ -31,7 +31,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 8          # queries per grid program (sublane dim)
+LANES = 64         # queries per grid program (sublane dim).  Measured on
+# the target chip (docs/PERF_NOTES.md): 8→235 ms, 16→150, 32→110, 64→88 ms
+# per 16,384 (112×256) cigar lanes; 128 exceeds the VMEM dirs scratch.
+# Outputs are LANES-invariant (verified bit-equal 8 vs 64).
 MAX_DEL = 64       # deletion-state scan window: the prefix-max over the
 # row is capped at 64 columns (6 roll steps instead of log2(Lr)) — exact
 # for all deletions that fit the ±PAD ref-window slack (align/core.py);
