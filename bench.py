@@ -62,13 +62,16 @@ def main():
         """The real per-batch device work + transfer of the align
         pipeline: phase-1 scoring for both ends, joint pair selection,
         split detection, phase-2 extension with in-kernel traceback, and
-        the packed meta+cigar device→host fetch (align.pipeline fetches
-        exactly this per batch)."""
-        res = fused_align_packed(
+        the packed meta+cigar-head device→host fetch (align.pipeline
+        fetches exactly this per batch)."""
+        meta, cig16, cigfull, ovf, stats = fused_align_packed(
             fm, r1, l1, r2, l2, distro=distro, use_pallas=use_pallas,
             kidx=kidx
         )
-        return jax.device_get((res[0], res[1]))
+        f = jax.device_get((meta, cig16, ovf))
+        if int(f[2]):
+            jax.device_get(cigfull)
+        return f
 
     full_step()  # warmup / compile
     iters = 3

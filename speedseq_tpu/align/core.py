@@ -480,6 +480,8 @@ def fused_align_step(
 
 # ------------------------------------------------------- packed device I/O
 
+CIGAR_HEAD = 16  # ops in the always-fetched cigar head slice
+
 # meta row indices for pack_fused/unpack_fused (single (R,B,S) i32 field set)
 _META_FIELDS = (
     "pos", "strand", "score", "qbeg", "qend", "rend_pos", "n_ops", "rstart",
@@ -513,20 +515,23 @@ def fused_align_packed(
 ):
     """fused_align_step with outputs packed for ONE device→host fetch.
 
-    The relay's per-array fetch latency (~0.2 s regardless of size,
-    docs/PERF_NOTES.md) dominates when the step returns ~30 leaves; this
-    variant concatenates everything into three arrays:
+    The relay's per-array fetch latency (~0.2 s regardless of size) and
+    ~30 MB/s bandwidth (docs/PERF_NOTES.md) dominate when the step returns
+    ~30 leaves; this variant packs everything:
 
-      meta:  (E, 11, B, S) int32 — rows per _META_FIELDS (sub/sub_n
-             broadcast over the slot dim)
-      cigar: (E, B, S, MAX_OPS) int32 — BAM-packed ``len<<4|op`` with the
-             soft clips NOT included (host adds them from qbeg/qend)
-      stats: (E, 4, B, K) int32 — phase-1 pos/strand/score/rend for
-             insert-distro estimation (fetched only on estimation batches)
+      meta:      (E, 11, B, S) int32 — rows per _META_FIELDS (sub/sub_n
+                 broadcast over the slot dim)
+      cigar16:   (E, B, S, CIGAR_HEAD) int16 — BAM-packed ``len<<4|op``
+                 head slice, soft clips NOT included (host adds them from
+                 qbeg/qend); always fetched
+      cigar:     (E, B, S, MAX_OPS) int16 — the full cigar; fetched only
+                 when ``overflow`` fires (rare)
+      overflow:  () int32 — 1 iff some scoring lane has > CIGAR_HEAD ops
+      stats:     (E, 4, B, K) int32 — phase-1 pos/strand/score/rend for
+                 insert-distro estimation (fetched on estimation batches)
 
-    E = 2 ends when paired else 1.  Requires the pallas traceback path
-    (kernel NM); the unpacked fused_align_step remains for the
-    refwin-on-host fallback.
+    E = 2 ends when paired else 1.  Host-side NM/MD fallback (non-pallas)
+    slices the host reference (finalize_alignments host_ref).
     """
     res = fused_align_step(
         fm, reads1, lengths1, reads2, lengths2, distro=distro,
@@ -535,6 +540,7 @@ def fused_align_packed(
         paired=paired, kidx=kidx, score_mode=score_mode,
     )
     metas, cigars, stats = [], [], []
+    max_nops = jnp.int32(0)
     for end in res:
         if end is None:
             continue
@@ -559,8 +565,19 @@ def fused_align_packed(
             0,
         ).astype(jnp.int16)
         cigars.append(packed)
+        max_nops = jnp.maximum(
+            max_nops, jnp.max(jnp.where(cand.score > 0, cand.n_ops, 0)))
         stats.append(jnp.stack([sc.pos, sc.strand, sc.score, sc.rend_pos]))
-    return jnp.stack(metas), jnp.stack(cigars), jnp.stack(stats)
+    cigar_full = jnp.stack(cigars)
+    # two-tier cigar transfer: the relay moves ~30 MB/s, and real batches
+    # almost never exceed CIGAR_HEAD ops — the host fetches the head slice
+    # plus this overflow flag, and falls back to cigar_full only when some
+    # scoring lane actually has a longer cigar
+    overflow = (max_nops > CIGAR_HEAD).astype(jnp.int32)
+    return (
+        jnp.stack(metas), cigar_full[..., :CIGAR_HEAD], cigar_full,
+        overflow, jnp.stack(stats),
+    )
 
 
 class PackedEnd(NamedTuple):

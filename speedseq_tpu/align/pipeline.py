@@ -307,12 +307,17 @@ def align_stream(
         est_distro = item["est_distro"]
         n = batches[0].n
         fetched = item["fut"].result()
-        ends = unpack_fused(fetched[0], fetched[1])
+        cig = fetched[1]
+        if int(fetched[2]):
+            # rare: some lane exceeded the cigar head slice — pay one
+            # extra fetch for the full (E, B, S, MAX_OPS) array
+            cig = jax.device_get(item["cigfull"])
+        ends = unpack_fused(fetched[0], cig)
         if est_distro:
             mk = lambda s: types.SimpleNamespace(
                 pos=s[0], strand=s[1], score=s[2], rend_pos=s[3])
             distro = _estimate_distro(
-                mk(fetched[2][0]), mk(fetched[2][1]), cfg,
+                mk(fetched[3][0]), mk(fetched[3][1]), cfg,
                 fallback=distro,
             )
         sels = [
@@ -422,7 +427,7 @@ def align_stream(
                 min_seed_len=cfg.min_seed_len,
                 use_pallas=use_pallas,
                 kidx=kidx,
-            )[:3]
+            )[:5]
         else:
             res = fused_align_packed(
                 fm,
@@ -436,11 +441,13 @@ def align_stream(
                 paired=is_paired_batch,
                 kidx=kidx,
             )
-        meta_d, cigar_d, stats_d = res
-        fetch_args = (meta_d, cigar_d) + ((stats_d,) if est_distro else ())
+        meta_d, cig16_d, cigfull_d, ovf_d, stats_d = res
+        fetch_args = (meta_d, cig16_d, ovf_d) + (
+            (stats_d,) if est_distro else ())
         item = {
             "bi": bi, "batches": batches, "seqs_p": seqs_p, "lens_p": lens_p,
             "is_paired": is_paired_batch, "est_distro": est_distro,
+            "cigfull": cigfull_d,
             "fut": fetch_pool.submit(jax.device_get, fetch_args),
         }
         if pending is not None:

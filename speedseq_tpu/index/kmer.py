@@ -182,12 +182,40 @@ def find_seeds_hash(
     f32 = lambda lo, hi: (lo * jnp.uint32(0xC2B2AE35)) ^ (hi * jnp.uint32(0x27D4EB2F))
     shift = (jnp.uint32(32) - kidx.bits.astype(jnp.uint32))
 
+    # anchor k-mer keys as ONE (B,L)@(L,4G) matmul on the MXU: each output
+    # column is a positional base-4 sum over one anchor's window (8+8+t2
+    # base words, all < 2^16 so f32 is exact).  Replaces per-position
+    # convolutions over the whole read (~32 ms/strand → ~2 ms,
+    # docs/PERF_NOTES.md).
+    t2 = k - 16
+    W_np = np.zeros((L, 4 * G), np.float32)
+    for gi, a in enumerate(anchors_np):
+        for j in range(t2):           # hi word: first k-16 bases
+            W_np[a + j, gi] = 4.0 ** (t2 - 1 - j)
+        for j in range(8):            # lo word 0: bases t2..t2+7
+            W_np[a + t2 + j, G + gi] = 4.0 ** (7 - j)
+        for j in range(8):            # lo word 1: bases t2+8..t2+15
+            W_np[a + t2 + 8 + j, 2 * G + gi] = 4.0 ** (7 - j)
+        for j in range(k):            # bad-base window count
+            W_np[a + j, 3 * G + gi] = 1.0
+    W = jnp.asarray(W_np)
+
+    def anchor_keys(rd):
+        r = jnp.clip(rd, 0, 4)
+        badf = (r > 3).astype(jnp.float32)
+        rf = jnp.where(r > 3, 0, r).astype(jnp.float32)
+        prod = rf @ W[:, : 3 * G]                # (B, 3G)
+        nbad = badf @ W[:, 3 * G :]              # (B, G)
+        hi = prod[:, :G].astype(jnp.uint32)
+        a0 = prod[:, G : 2 * G].astype(jnp.uint32)
+        a1 = prod[:, 2 * G :].astype(jnp.uint32)
+        lo = (a0 << jnp.uint32(16)) | a1
+        return lo, hi, nbad > 0
+
     def one_strand(rd):
-        lo, hi, bad = read_kmers(rd, k)          # (B, L)
-        a_lo = lo[:, anchors]                    # (B, G)
-        a_hi = hi[:, anchors]
+        a_lo, a_hi, bad = anchor_keys(rd)        # (B, G)
         anchor_ok = (
-            ~bad[:, anchors]
+            ~bad
             & (anchors[None, :] + k <= lengths[:, None])
         )
         bkt = (h32(a_lo, a_hi) >> shift).astype(jnp.int32)

@@ -66,26 +66,29 @@ def _build_step(mesh: Mesh, axis: str, paired: bool, n_chains: int,
         mesh=mesh,
         in_specs=(P(), P(), P()) + reads_specs,
         out_specs=(
-            P(None, None, axis),   # meta  (E, 11, B, S)
-            P(None, axis),         # cigar (E, B, S, MAX_OPS)
-            P(None, None, axis),   # stats (E, 4, B, K)
+            P(None, None, axis),   # meta    (E, 11, B, S)
+            P(None, axis),         # cigar16 (E, B, S, CIGAR_HEAD)
+            P(None, axis),         # cigar   (E, B, S, MAX_OPS)
+            P(),                   # overflow (pmax-reduced scalar)
+            P(None, None, axis),   # stats   (E, 4, B, K)
             P(),                   # n_aligned (psum-reduced scalar)
         ),
     )
     def step(fm_, kidx_, distro_, r1, l1, *rest):
         r2, l2 = (rest[0], rest[1]) if paired else (None, None)
-        meta, cigar, stats = fused_align_packed(
+        meta, cig16, cigar, overflow, stats = fused_align_packed(
             fm_, r1, l1, r2, l2, distro=distro_,
             n_chains=n_chains, min_seed_len=min_seed_len,
             use_pallas=use_pallas, paired=paired,
             kidx=kidx_ if has_kidx else None,
         )
+        overflow = jax.lax.pmax(overflow, axis)
         # global aligned-read count over ICI (the reference's analog is
         # each pipe reporting to the driver's stdout)
         n_aligned = jax.lax.psum(
             jnp.sum((meta[:, 2, :, 0] >= 30).astype(jnp.int32)), axis
         )
-        return meta, cigar, stats, n_aligned
+        return meta, cig16, cigar, overflow, stats, n_aligned
 
     fn = jax.jit(step)
     _step_cache[key] = fn
@@ -109,9 +112,9 @@ def distributed_fused_step(
     """One data-parallel production alignment step over the mesh.
 
     reads/lengths sharded on the batch dim (must divide the mesh size);
-    fm/kidx/distro replicated.  Returns (meta, cigar, stats, n_aligned)
-    with the same packed layout as ``fused_align_packed`` — the host
-    epilogue is shard-count agnostic.
+    fm/kidx/distro replicated.  Returns (meta, cigar16, cigar, overflow,
+    stats, n_aligned) with the same packed layout as
+    ``fused_align_packed`` — the host epilogue is shard-count agnostic.
     """
     paired = reads2 is not None
     if distro is None:

@@ -31,17 +31,18 @@ def test_distributed_fused_step_matches_single_device(tiny_world):
     outs = {}
     for n_dev in (1, 8):
         mesh = make_mesh(n_dev)
-        meta, cigar, stats, n_aligned = distributed_fused_step(
+        meta, cig16, cigar, ovf, stats, n_aligned = distributed_fused_step(
             mesh, fm, r1, l1, r2, l2, kidx=kidx, n_chains=2,
         )
         outs[n_dev] = (
-            np.asarray(meta), np.asarray(cigar), np.asarray(stats),
-            int(n_aligned),
+            np.asarray(meta), np.asarray(cig16), np.asarray(cigar),
+            np.asarray(stats), int(n_aligned),
         )
-    m1, c1, s1, a1 = outs[1]
-    m8, c8, s8, a8 = outs[8]
+    m1, h1, c1, s1, a1 = outs[1]
+    m8, h8, c8, s8, a8 = outs[8]
     assert a1 == a8 and a1 > 0
     np.testing.assert_array_equal(m1, m8)
+    np.testing.assert_array_equal(h1, h8)
     np.testing.assert_array_equal(c1, c8)
     np.testing.assert_array_equal(s1, s8)
 
