@@ -354,9 +354,18 @@ def _device_choose(
     qov = jnp.clip(jnp.minimum(pe, oe) - jnp.maximum(pb, ob), 0)
     shorter = jnp.maximum(1, jnp.minimum(pe - pb, oe - ob))
     split_ok = non_ovl & (score >= min_out_score) & (qov < mask_level * shorter)
+    # slot 1 carries the best split piece when one exists, else the best
+    # ref-disjoint query-overlapping secondary (→ host emits it as an XA
+    # entry, bwa's secondary-alignment surface); the host tells them apart
+    # from the extended cigars' query spans
     supp_score = jnp.where(split_ok, score, -1)
-    ks = jnp.argmax(supp_score, axis=1)
-    has_supp = supp_score[bidx, ks] > 0
+    sec_score = jnp.where(non_ovl & ~split_ok, score, -1)
+    ks_split = jnp.argmax(supp_score, axis=1)
+    ks_sec = jnp.argmax(sec_score, axis=1)
+    has_split = supp_score[bidx, ks_split] > 0
+    has_sec = sec_score[bidx, ks_sec] > 0
+    ks = jnp.where(has_split, ks_split, ks_sec)
+    has_supp = has_split | has_sec
     a_rpos = jnp.stack(
         [sc.anchor_rpos[bidx, kp],
          jnp.where(has_supp, sc.anchor_rpos[bidx, ks], -1)], axis=1
@@ -412,6 +421,122 @@ def _device_pair_select(
     return best // K, best % K
 
 
+def _mate_rescue(
+    fm: FMIndex,
+    cand,                     # Candidates of this end (post-extension)
+    sc_self: ScoredChains,
+    sc_other: ScoredChains,
+    k_other: jnp.ndarray,     # (B,) mate's chosen candidate
+    reads: jnp.ndarray,
+    lengths: jnp.ndarray,
+    distro: jnp.ndarray,      # (4,) [mean, std, low, high]
+    params: SWParams,
+    use_pallas: bool,
+    min_out_score: int = 30,
+):
+    """bwa mem_matesw equivalent [external knowledge]: an end with NO seed
+    chains whose mate aligned is Smith-Waterman-searched inside the mate's
+    expected insert window, in the FR orientation opposite the mate.
+
+    TPU shape: compact up to R = B//16 failed reads, extend each against 3
+    window tiles (each extension window spans anchor ±PAD, so 3 tiles cover
+    ~±130 bp around the insert-window center — best-effort for very wide
+    distros), and scatter accepted hits back into slot 0."""
+    from .sw import banded_sw_score, banded_sw_score_pallas
+
+    B, L = reads.shape
+    # rescue capacity: 1/32 of the batch per step (typical seed-failure
+    # rates are <2%; overflow reads simply stay unmapped, as they would
+    # without rescue)
+    R = max(8, B // 32)
+    bidx = jnp.arange(B)
+    fail = jnp.max(sc_self.score, axis=1) <= 0
+    mate_pos = sc_other.pos[bidx, k_other]
+    mate_rend = sc_other.rend_pos[bidx, k_other]
+    mate_strand = sc_other.strand[bidx, k_other]
+    mate_ok = sc_other.score[bidx, k_other] > 0
+    mask = fail & mate_ok
+    # first-R compaction via cumsum scatter (cheaper than a top_k sort)
+    csum = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    slot = jnp.where(mask & (csum < R), csum, R)      # R = dump slot
+    idxs = jnp.zeros(R + 1, jnp.int32).at[slot].set(bidx)[:R]
+    live = jnp.arange(R) < jnp.sum(mask.astype(jnp.int32))
+    qlen_r = lengths[idxs]
+    low, high = distro[2], distro[3]
+    mp, mr, ms = mate_pos[idxs], mate_rend[idxs], mate_strand[idxs]
+    # expected leftmost pos range of this read (FR orientation)
+    lo_b = jnp.where(
+        ms == 0, mp + low.astype(jnp.int32) - qlen_r,
+        mr - high.astype(jnp.int32))
+    hi_b = jnp.where(
+        ms == 0, mp + high.astype(jnp.int32) - qlen_r,
+        mr - low.astype(jnp.int32))
+    lo_b = jnp.maximum(lo_b, 0)
+    hi_b = jnp.maximum(hi_b, lo_b)
+    t = (hi_b - lo_b).astype(jnp.float32)
+    anchors = jnp.stack(
+        [(lo_b + (t * f).astype(jnp.int32)) for f in (0.17, 0.5, 0.83)],
+        axis=1,
+    )                                                 # (R, 3)
+    strand_r = jnp.broadcast_to((1 - ms)[:, None], (R, 3))
+    reads_r = reads[idxs]
+    # pass 1: score-only over the 3 window tiles (no traceback cost)
+    W = L + 2 * PAD + 16
+    reads_rc = revcomp_reads(reads_r, qlen_r)
+    q3 = jnp.where(
+        strand_r[..., None] == 1,
+        jnp.broadcast_to(reads_rc[:, None, :], (R, 3, L)),
+        jnp.broadcast_to(reads_r[:, None, :], (R, 3, L)),
+    ).reshape(R * 3, L)
+    rst3 = ((anchors - PAD) >> 4) << 4
+    ref3 = get_ref_window_packed(fm, rst3.reshape(-1), W)
+    ql3 = jnp.broadcast_to(qlen_r[:, None], (R, 3)).reshape(-1)
+    if use_pallas:
+        Wp = ((W + 127) // 128) * 128
+        ref3p = jnp.pad(
+            ref3.astype(jnp.int32), ((0, 0), (0, Wp - W)), constant_values=4)
+        s3 = banded_sw_score_pallas(q3, ql3, ref3p, params=params)
+    else:
+        s3 = banded_sw_score(q3, ql3, ref3.astype(jnp.int32), params=params)
+    score3 = s3.score.reshape(R, 3)
+    jbest = jnp.argmax(score3, axis=1)                # (R,)
+    ridx = jnp.arange(R)
+    # pass 2: full traceback extension on the winning tile only
+    resc = extend_candidates(
+        fm, reads_r, qlen_r,
+        anchors[ridx, jbest][:, None], jnp.zeros((R, 1), jnp.int32),
+        strand_r[:, :1],
+        params=params, use_pallas=use_pallas,
+    )
+    jbest = jnp.zeros(R, jnp.int32)
+    rs = resc.score[ridx, jbest]
+    accept = live & (rs >= min_out_score)
+    # scatter accepted rescues into slot 0 of this end's candidates;
+    # duplicate top_k padding lanes are masked by `accept`
+    def put(dst, src):
+        upd = jnp.where(accept, src, dst[idxs, 0])
+        return dst.at[idxs, 0].set(upd)
+
+    cand = cand._replace(
+        pos=put(cand.pos, resc.pos[ridx, jbest]),
+        strand=put(cand.strand, resc.strand[ridx, jbest]),
+        score=put(cand.score, rs),
+        qbeg=put(cand.qbeg, resc.qbeg[ridx, jbest]),
+        qend=put(cand.qend, resc.qend[ridx, jbest]),
+        rend_pos=put(cand.rend_pos, resc.rend_pos[ridx, jbest]),
+        n_ops=put(cand.n_ops, resc.n_ops[ridx, jbest]),
+        rstart=put(cand.rstart, resc.rstart[ridx, jbest]),
+        nm=put(cand.nm, resc.nm[ridx, jbest]),
+        cigar_ops=cand.cigar_ops.at[idxs, 0].set(
+            jnp.where(accept[:, None], resc.cigar_ops[ridx, jbest],
+                      cand.cigar_ops[idxs, 0])),
+        cigar_len=cand.cigar_len.at[idxs, 0].set(
+            jnp.where(accept[:, None], resc.cigar_len[ridx, jbest],
+                      cand.cigar_len[idxs, 0])),
+    )
+    return cand
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -462,9 +587,9 @@ def fused_align_step(
     else:
         sc2, k1, k2 = None, None, None
     out = []
-    for sc, reads, lengths, kk in (
-        (sc1, reads1, lengths1, k1),
-        (sc2, reads2, lengths2, k2),
+    for sc, reads, lengths, kk, other in (
+        (sc1, reads1, lengths1, k1, (sc2, k2)),
+        (sc2, reads2, lengths2, k2, (sc1, k1)),
     ):
         if sc is None:
             out.append(None)
@@ -474,6 +599,12 @@ def fused_align_step(
             fm, reads, lengths, arp, aqp, ast,
             params=params, use_pallas=use_pallas,
         )
+        if other[0] is not None:
+            # mate rescue: seeds-free ends SW-searched in the mate window
+            cand = _mate_rescue(
+                fm, cand, sc, other[0], other[1], reads, lengths, distro,
+                params, use_pallas,
+            )
         out.append((cand, sub, sub_n, sc))
     return tuple(out)
 

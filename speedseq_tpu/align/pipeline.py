@@ -714,7 +714,23 @@ def _pair_records(
             # samblaster --addMateTags contract (bin/speedseq:439)
             tags.append(("MC", "Z", cigar_to_str(mate.aln.cigar)))
             tags.append(("MQ", "i", mate.aln.mapq))
-        has_split = a.aligned and r.supp is not None
+        # slot-1 candidate: a split piece (query-disjoint → SA tag +
+        # supplementary record, samblaster splitter channel) or an XA
+        # secondary (query-overlapping alternative placement, bwa's
+        # XA:Z:chr,±pos,CIGAR,NM; emitted when within 80% of the primary
+        # score [external knowledge: bwa mem XA contract])
+        has_supp = a.aligned and r.supp is not None
+        split_ok = False
+        if has_supp:
+            from .core import _orig_frame
+
+            qlen = len(r.seq)
+            pq = _cigar_qspan(a.cigar)
+            sq = _cigar_qspan(r.supp.cigar)
+            pb, pe = _orig_frame(pq[0], pq[1], a.strand, qlen)
+            sb, se = _orig_frame(sq[0], sq[1], r.supp.strand, qlen)
+            split_ok = split_qualifies(pb, pe, sb, se, cfg.min_non_overlap)
+        has_split = has_supp and split_ok
         if has_split:
             stid, spos = cpos(r.supp)
             tags.append(
@@ -727,6 +743,13 @@ def _pair_records(
                     ),
                 )
             )
+        elif has_supp and r.supp.score >= 0.8 * a.score:
+            stid, spos = cpos(r.supp)
+            tags.append((
+                "XA", "Z",
+                f"{idx.names[stid]},{'-' if r.supp.strand else '+'}"
+                f"{spos + 1},{cigar_to_str(r.supp.cigar)},{r.supp.nm};",
+            ))
 
         rec = SAMRecord(
             qname=r.name, flag=flag, tid=tid, pos=pos,
@@ -734,20 +757,9 @@ def _pair_records(
             cigar=a.cigar if a.aligned else [],
             mtid=mtid, mpos=mpos, tlen=tlen, seq=seq, qual=qual, tags=tags,
         )
-        # splitter qualification: samblaster minNonOverlap=20, 2 pieces
-        split_ok = False
+        out.append((rec, has_split, discordant))
+
         if has_split:
-            from .core import _orig_frame
-
-            qlen = len(r.seq)
-            pq = _cigar_qspan(a.cigar)
-            sq = _cigar_qspan(r.supp.cigar)
-            pb, pe = _orig_frame(pq[0], pq[1], a.strand, qlen)
-            sb, se = _orig_frame(sq[0], sq[1], r.supp.strand, qlen)
-            split_ok = split_qualifies(pb, pe, sb, se, cfg.min_non_overlap)
-        out.append((rec, split_ok, discordant))
-
-        if has_split and split_ok:
             stid, spos = cpos(r.supp)
             sflag = flag | FSUPPLEMENTARY
             if r.supp.strand:

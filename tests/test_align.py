@@ -276,3 +276,65 @@ def test_pallas_sw_matches_jax_interpret():
                 ri += l
         assert sc == int(full.score[n])
         assert qi == int(full.qend[n]) and ri == int(full.rend[n])
+
+
+def test_xa_secondary_emitted_for_duplicated_region(tmp_path):
+    """A read from a duplicated segment gets an XA:Z alternative-placement
+    tag (bwa mem XA contract: secondary within 80% of the primary score)."""
+    from speedseq_tpu.formats.fasta import decode_bases
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 4, 6000).astype(np.uint8)
+    g[4000:4800] = g[1000:1800]  # exact 800 bp duplication
+    fa = tmp_path / "dup.fa"
+    seq = decode_bases(g).decode()
+    with open(fa, "w") as fh:
+        fh.write(">dup\n")
+        for i in range(0, len(seq), 60):
+            fh.write(seq[i : i + 60] + "\n")
+    # pairs anchored in the duplicated region + unique filler pairs
+    names, s1, q1, s2, q2, truth = sim.simulate_pairs(
+        g[900:2100], 40, read_len=100, seed=5)
+    sim.to_fastq(str(tmp_path / "x1.fq"), str(tmp_path / "x2.fq"),
+                 names, s1, q1, s2, q2)
+    outs = align_fastq(str(fa), str(tmp_path / "x1.fq"),
+                       str(tmp_path / "x2.fq"),
+                       out_prefix=str(tmp_path / "xa"),
+                       config=AlignConfig(batch_size=64))
+    hdr, recs = read_bam(outs["bam"])
+    xa = [r for r in recs if r.get_tag("XA")]
+    assert xa, "no XA tags emitted for reads from a duplicated segment"
+    # XA entry is well-formed: chr,±pos,cigar,NM;
+    import re
+
+    for r in xa[:5]:
+        assert re.match(r"^dup,[+-]\d+,[\dMIDSH]+,\d+;$", r.get_tag("XA"))
+        assert r.mapq <= 3  # ambiguous placement → near-zero mapq
+
+
+def test_mate_rescue_recovers_seedless_end(genome, tmp_path):
+    """bwa mem_matesw semantics: an end whose every 9th base is corrupted
+    (no clean 19-mer seed exists) but whose mate maps cleanly is rescued
+    by SW inside the mate's insert window instead of staying unmapped."""
+    names, s1, q1, s2, q2, truth = sim.simulate_pairs(
+        genome, 48, read_len=100, seed=21)
+    s2c = s2.copy()
+    s2c[:, ::9] = (s2c[:, ::9] + 1) % 4   # kills all 19-mer seeds
+    sim.to_fastq(str(tmp_path / "m1.fq"), str(tmp_path / "m2.fq"),
+                 names, s1, q1, s2c, q2)
+    outs = align_fastq(REF, str(tmp_path / "m1.fq"), str(tmp_path / "m2.fq"),
+                       out_prefix=str(tmp_path / "mr"),
+                       config=AlignConfig(batch_size=64))
+    hdr, recs = read_bam(outs["bam"])
+    r2 = {r.qname: r for r in recs
+          if (r.flag & 0xC0) == 0x80 and not (r.flag & FSUPPLEMENTARY)}
+    mapped = sum(1 for r in r2.values() if not (r.flag & FUNMAP))
+    # without rescue these ends have zero seeds → all unmapped
+    assert mapped >= len(r2) * 0.8, f"only {mapped}/{len(r2)} rescued"
+    # rescued placements are at the simulated truth positions
+    ok = 0
+    for i, name in enumerate(names):
+        r = r2.get(name)
+        if r is not None and not (r.flag & FUNMAP):
+            ok += abs(r.pos - int(truth.pos2[i])) <= 12
+    assert ok >= mapped * 0.9
