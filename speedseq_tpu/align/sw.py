@@ -198,7 +198,7 @@ def banded_sw_score_pallas(
         qlen = jnp.pad(qlen, (0, padn))
         ref = jnp.pad(ref, ((0, padn), (0, 0)), constant_values=4)
     score, qend, rend, gscore, grend = sw_pallas(
-        query, qlen, ref, params=p, with_dirs=False, interpret=interpret
+        query, qlen, ref, params=p, interpret=interpret
     )
     if padn:
         score, qend, rend, gscore, grend = (

@@ -6,19 +6,30 @@ prefix-max horizontal (deletion) state, best-cell tracking and packed
 traceback direction bits — runs inside one kernel launch with all state
 in VMEM/registers, instead of ~100 XLA scan steps each re-touching HBM.
 
+The DP is BANDED in a moving diagonal frame: at query row i only ref
+columns j ∈ [i, i+BAND) can hold a live alignment (window anchoring
+guarantees the start offset ≤ PAD+16 = 60 and deletions are capped at
+MAX_DEL = 64, so 60+64 < BAND = 128; align/core.py PAD).  Band state is
+indexed by c = j - i, which makes the diagonal move a NO-OP (H_prev[c]
+IS the diagonal neighbor), the vertical move a left-rotate, and the
+in-row deletion prefix-max identical to the unbanded form — and halves
+the vector width from the 256-column ref window to 128 lanes.
+
 Layout notes (Mosaic constraints shaped this):
-- 8 query lanes per grid program on the sublane axis; ref window on the
-  128-wide lane axis (Lr ≤ 256).
+- LANES queries per grid program on the sublane axis; band on the
+  128-wide lane axis — exactly one vreg column tile.
 - query bases and per-lane lengths live in SMEM; per-row query bases are
-  splatted into (8, Lr) registers via scalar selects (dynamic lane-dim
-  vector indexing and (8,1)→(8,Lr) vector broadcasts are not legal).
-- best-cell tracking stays full-width (8, Lr) and reduces once at the
-  end, packed as (score, smallest i, smallest j) to reproduce XLA
+  splatted into (LANES, BAND) registers via scalar selects (dynamic
+  lane-dim vector indexing and vector broadcasts are not legal).
+- the per-row ref slice ref[i:i+BAND] comes from one dynamic lane
+  rotate of the (LANES, Lr) ref registers.
+- best-cell tracking stays full-width and reduces once at the end,
+  packed as (score, smallest i, smallest global j) to reproduce XLA
   argmax tie-breaking.
 
 Packed direction byte per cell: bits 0-1 = H source (0 stop, 1 diag,
 2 ins, 3 del), bit 2 = insertion-run continue, bit 3 = deletion-run
-continue; align/sw.py walks these in its batched traceback.
+continue, bit 4 = mismatch (cigar kernel only).
 """
 
 from __future__ import annotations
@@ -35,136 +46,75 @@ LANES = 64         # queries per grid program (sublane dim).  Measured on
 # the target chip (docs/PERF_NOTES.md): 8→235 ms, 16→150, 32→110, 64→88 ms
 # per 16,384 (112×256) cigar lanes; 128 exceeds the VMEM dirs scratch.
 # Outputs are LANES-invariant (verified bit-equal 8 vs 64).
+BAND = 128         # diagonal band width (c = j - i ∈ [0, BAND))
 MAX_DEL = 64       # deletion-state scan window: the prefix-max over the
-# row is capped at 64 columns (6 roll steps instead of log2(Lr)) — exact
-# for all deletions that fit the ±PAD ref-window slack (align/core.py);
-# longer in-read deletions fall to the soft-clip/split path, as with
-# bwa's band cap [external knowledge]
+# row is capped at 64 columns (6 roll steps) — exact for all deletions
+# that fit the ±PAD ref-window slack (align/core.py); longer in-read
+# deletions fall to the soft-clip/split path, as with bwa's band cap
+# [external knowledge]
 NEG = -(10 ** 6)
 
 
-def _mk_kernel(Lq: int, Lr: int, params, with_dirs: bool):
-    p_match, p_mis, p_open, p_ext = params
+def _row_ops(i, H, V, ref, qc, qlen_full, p_match, p_mis, p_open, p_ext,
+             Lq, Lr):
+    """One banded DP row shared by both kernels.  H/V are the previous
+    row in ITS band frame; returns (Hn, Vn, Ht-parts for dirs)."""
     oe = p_open + p_ext
-
-    def kernel(qlen_ref, q_ref, ref_ref, *out_refs):
-        if with_dirs:
-            (score_ref, qend_ref, rend_ref, gscore_ref, grend_ref,
-             dirs_ref) = out_refs
-        else:
-            (score_ref, qend_ref, rend_ref, gscore_ref, grend_ref) = out_refs
-        ref = ref_ref[:].astype(jnp.int32)            # (8, Lr)
-
-        def splat(read_scalar):
-            """Per-lane scalars → (8, Lr) via 8 scalar selects.
-
-            Seeded from an iota-derived zero so the result carries a
-            natural (non-replicated) vector layout — Mosaic rejects
-            replicated operands in the downstream roll/select chain.
-            """
-            row_id = jax.lax.broadcasted_iota(jnp.int32, (LANES, Lr), 0)
-            acc = jax.lax.broadcasted_iota(jnp.int32, (LANES, Lr), 1) * 0
-            for l in range(LANES):
-                acc = jnp.where(row_id == l, read_scalar(l), acc)
-            return acc
-
-        qlen_full = splat(lambda l: qlen_ref[l, 0])   # (8, Lr)
-
-        def body(i, carry):
-            # carry is ONE (4*LANES, Lr) array: tuple carries holding
-            # rolled vectors trip a Mosaic layout-unification bug
-            H = carry[0:LANES]
-            V = carry[LANES : 2 * LANES]
-            best = carry[2 * LANES : 3 * LANES]
-            gbest = carry[3 * LANES : 4 * LANES]
-            # iotas created inside the loop body: capturing them from the
-            # enclosing region gives them layouts Mosaic cannot unify
-            # with the roll/select chain below
-            col = jax.lax.broadcasted_iota(jnp.int32, (LANES, Lr), 1)
-            qc = splat(lambda l: q_ref[l, i])         # (8, Lr) query base
-            q_ok = qc < 4
-            r_ok = ref < 4
-            sub = jnp.where(
-                q_ok & r_ok,
-                jnp.where(ref == qc, p_match, -p_mis),
-                jnp.int32(-1),
-            )
-            Hs = pltpu.roll(H, 1, 1)
-            Hs = jnp.where(col == 0, 0, Hs)           # boundary column
-            diag = Hs + sub
-            Vn = jnp.maximum(V - p_ext, H - oe)
-            vext = (V - p_ext >= H - oe).astype(jnp.int32)
-            Ht = jnp.maximum(jnp.maximum(diag, Vn), 0)
-            # deletion state: F[j] = prefmax_{<j}(Ht + e·col) - o - e·j
-            m = Ht + p_ext * col
-            x = m
-            s = 1
-            while s < min(Lr, MAX_DEL):
-                xs = pltpu.roll(x, s, 1)
-                x = jnp.maximum(x, jnp.where(col >= s, xs, NEG))
-                s *= 2
-            pm = pltpu.roll(x, 1, 1)
-            pm = jnp.where(col == 0, NEG, pm)
-            F = pm - p_open - p_ext * col
-            Hn = jnp.maximum(Ht, F)
-            pm_prev = jnp.where(col == 0, NEG, pltpu.roll(pm, 1, 1))
-            fext = ((pm == pm_prev) & (col > 0)).astype(jnp.int32)
-            d = jnp.zeros_like(Hn)
-            d = jnp.where((Hn == F) & (Hn > 0), 3, d)
-            d = jnp.where((Hn == Vn) & (Hn > 0), 2, d)
-            d = jnp.where((Hn == diag) & (Hn > 0), 1, d)
-            packed = d | (vext << 2) | (fext << 3)
-
-            valid_row = i < qlen_full
-            Hn = jnp.where(valid_row, Hn, 0)
-            Vn = jnp.where(valid_row, Vn, NEG)
-            packed = jnp.where(valid_row, packed, 0)
-            if with_dirs:
-                dirs_ref[pl.ds(i, 1), :, :] = packed.astype(jnp.uint8)[None]
-            # (score, smallest i, smallest j) packing, reduced at the end
-            cand = (Hn * (Lq + 1) + (Lq - i)) * Lr + (Lr - 1 - col)
-            best = jnp.maximum(best, cand)
-            gpk = Hn * Lr + (Lr - 1 - col)
-            gbest = jnp.where(i == qlen_full - 1, gpk, gbest)
-            return jnp.concatenate([Hn, Vn, best, gbest], axis=0)
-
-        # iota-derived inits keep the loop-carry vector layouts natural
-        # (splat-constant inits force a replicated carry layout that
-        # Mosaic cannot reconcile with the body's roll/select chain)
-        z = jax.lax.broadcasted_iota(jnp.int32, (LANES, Lr), 1) * 0
-        carry0 = jnp.concatenate([z, z + NEG, z, z], axis=0)
-        carry_f = jax.lax.fori_loop(0, Lq, body, carry0)
-        best_f = carry_f[2 * LANES : 3 * LANES]
-        gbest_f = carry_f[3 * LANES : 4 * LANES]
-        best = jnp.max(best_f, axis=1, keepdims=True)      # (8, 1)
-        gbest = jnp.max(gbest_f, axis=1, keepdims=True)
-        rem = best % ((Lq + 1) * Lr)
-        score_ref[:] = best // ((Lq + 1) * Lr)
-        qend_ref[:] = Lq - rem // Lr + 1
-        rend_ref[:] = Lr - 1 - rem % Lr + 1
-        gscore_ref[:] = gbest // Lr
-        grend_ref[:] = Lr - 1 - gbest % Lr + 1
-
-    return kernel
+    col = jax.lax.broadcasted_iota(jnp.int32, (LANES, BAND), 1)  # c
+    # ref slice for this row: refw[c] = ref[i + c]
+    shift = jax.lax.rem(Lr - i, Lr)
+    refw = pltpu.roll(ref, shift, 1)[:, :BAND]
+    refw = jnp.where(i + col < Lr, refw, jnp.int32(4))
+    q_ok = qc < 4
+    r_ok = refw < 4
+    is_match = q_ok & r_ok & (refw == qc)
+    sub = jnp.where(q_ok & r_ok, jnp.where(is_match, p_match, -p_mis),
+                    jnp.int32(-1))
+    # diagonal: H[i-1][j-1] lands at the SAME band index c
+    diag = H + sub
+    # vertical: H/V[i-1][j] sit at band index c+1 of the previous row
+    # (left-rotate by 1 == right-rotate by BAND-1; pltpu.roll wants ≥ 0)
+    Hv = jnp.where(col == BAND - 1, NEG, pltpu.roll(H, BAND - 1, 1))
+    Vv = jnp.where(col == BAND - 1, NEG, pltpu.roll(V, BAND - 1, 1))
+    Vn = jnp.maximum(Vv - p_ext, Hv - oe)
+    vext = (Vv - p_ext >= Hv - oe).astype(jnp.int32)
+    Ht = jnp.maximum(jnp.maximum(diag, Vn), 0)
+    # deletion state within the row: F[c] = prefmax_{<c}(Ht + e·c) - o - e·c
+    # (the e·i global-shift cancels, so band coords work unchanged)
+    m = Ht + p_ext * col
+    x = m
+    s = 1
+    while s < min(BAND, MAX_DEL):
+        xs = pltpu.roll(x, s, 1)
+        x = jnp.maximum(x, jnp.where(col >= s, xs, NEG))
+        s *= 2
+    pm = pltpu.roll(x, 1, 1)
+    pm = jnp.where(col == 0, NEG, pm)
+    F = pm - p_open - p_ext * col
+    Hn = jnp.maximum(Ht, F)
+    pm_prev = jnp.where(col == 0, NEG, pltpu.roll(pm, 1, 1))
+    fext = ((pm == pm_prev) & (col > 0)).astype(jnp.int32)
+    d = jnp.zeros_like(Hn)
+    d = jnp.where((Hn == F) & (Hn > 0), 3, d)
+    d = jnp.where((Hn == Vn) & (Hn > 0), 2, d)
+    d = jnp.where((Hn == diag) & (Hn > 0), 1, d)
+    valid_row = i < qlen_full
+    Hn = jnp.where(valid_row, Hn, 0)
+    Vn = jnp.where(valid_row, Vn, NEG)
+    return col, Hn, Vn, d, vext, fext, is_match, valid_row
 
 
-def _mk_cigar_kernel(Lq: int, Lr: int, params, max_ops: int):
-    """DP + in-kernel traceback: directions stay in a VMEM scratch (never
-    HBM), the backtrack walk runs on the scalar core, and the cigar comes
-    out as SMEM scalars — one launch replaces the Lq+Lr-iteration XLA
-    traceback loop of align/sw.py:_traceback_packed (~190 ms → ~25 ms per
-    8k batch, docs/PERF_NOTES.md)."""
+def _mk_kernel(Lq: int, Lr: int, params):
+    """Score-only banded DP (no traceback state)."""
     p_match, p_mis, p_open, p_ext = params
-    oe = p_open + p_ext
 
     def kernel(qlen_ref, q_ref, ref_ref, score_ref, qend_ref, rend_ref,
-               gscore_ref, grend_ref, ops_ref, lens_ref, nops_ref,
-               qbeg_ref, rbeg_ref, nm_ref, dirs_ref):
-        ref = ref_ref[:].astype(jnp.int32)            # (8, Lr)
+               gscore_ref, grend_ref):
+        ref = ref_ref[:].astype(jnp.int32)            # (LANES, Lr)
 
         def splat(read_scalar):
-            row_id = jax.lax.broadcasted_iota(jnp.int32, (LANES, Lr), 0)
-            acc = jax.lax.broadcasted_iota(jnp.int32, (LANES, Lr), 1) * 0
+            row_id = jax.lax.broadcasted_iota(jnp.int32, (LANES, BAND), 0)
+            acc = jax.lax.broadcasted_iota(jnp.int32, (LANES, BAND), 1) * 0
             for l in range(LANES):
                 acc = jnp.where(row_id == l, read_scalar(l), acc)
             return acc
@@ -176,56 +126,92 @@ def _mk_cigar_kernel(Lq: int, Lr: int, params, max_ops: int):
             V = carry[LANES : 2 * LANES]
             best = carry[2 * LANES : 3 * LANES]
             gbest = carry[3 * LANES : 4 * LANES]
-            col = jax.lax.broadcasted_iota(jnp.int32, (LANES, Lr), 1)
             qc = splat(lambda l: q_ref[l, i])
-            q_ok = qc < 4
-            r_ok = ref < 4
-            is_match = q_ok & r_ok & (ref == qc)
-            sub = jnp.where(
-                q_ok & r_ok,
-                jnp.where(ref == qc, p_match, -p_mis),
-                jnp.int32(-1),
-            )
-            Hs = pltpu.roll(H, 1, 1)
-            Hs = jnp.where(col == 0, 0, Hs)
-            diag = Hs + sub
-            Vn = jnp.maximum(V - p_ext, H - oe)
-            vext = (V - p_ext >= H - oe).astype(jnp.int32)
-            Ht = jnp.maximum(jnp.maximum(diag, Vn), 0)
-            m = Ht + p_ext * col
-            x = m
-            s = 1
-            while s < min(Lr, MAX_DEL):
-                xs = pltpu.roll(x, s, 1)
-                x = jnp.maximum(x, jnp.where(col >= s, xs, NEG))
-                s *= 2
-            pm = pltpu.roll(x, 1, 1)
-            pm = jnp.where(col == 0, NEG, pm)
-            F = pm - p_open - p_ext * col
-            Hn = jnp.maximum(Ht, F)
-            pm_prev = jnp.where(col == 0, NEG, pltpu.roll(pm, 1, 1))
-            fext = ((pm == pm_prev) & (col > 0)).astype(jnp.int32)
-            d = jnp.zeros_like(Hn)
-            d = jnp.where((Hn == F) & (Hn > 0), 3, d)
-            d = jnp.where((Hn == Vn) & (Hn > 0), 2, d)
-            d = jnp.where((Hn == diag) & (Hn > 0), 1, d)
-            packed = (
-                d | (vext << 2) | (fext << 3)
-                | ((~is_match).astype(jnp.int32) << 4)   # bit 4: mismatch
-            )
-            valid_row = i < qlen_full
-            Hn = jnp.where(valid_row, Hn, 0)
-            Vn = jnp.where(valid_row, Vn, NEG)
-            packed = jnp.where(valid_row, packed, 0)
-            dirs_ref[pl.ds(i, 1), :, :] = packed[None]
-            cand = (Hn * (Lq + 1) + (Lq - i)) * Lr + (Lr - 1 - col)
+            col, Hn, Vn, d, vext, fext, is_match, valid_row = _row_ops(
+                i, H, V, ref, qc, qlen_full, p_match, p_mis, p_open, p_ext,
+                Lq, Lr)
+            jg = i + col                               # global ref column
+            cand = (Hn * (Lq + 1) + (Lq - i)) * Lr + (Lr - 1 - jg)
             best = jnp.maximum(best, cand)
-            gpk = Hn * Lr + (Lr - 1 - col)
+            gpk = Hn * Lr + (Lr - 1 - jg)
             gbest = jnp.where(i == qlen_full - 1, gpk, gbest)
             return jnp.concatenate([Hn, Vn, best, gbest], axis=0)
 
-        z = jax.lax.broadcasted_iota(jnp.int32, (LANES, Lr), 1) * 0
+        z = jax.lax.broadcasted_iota(jnp.int32, (LANES, BAND), 1) * 0
         carry0 = jnp.concatenate([z, z + NEG, z, z], axis=0)
+        carry_f = jax.lax.fori_loop(0, Lq, body, carry0)
+        best = jnp.max(carry_f[2 * LANES : 3 * LANES], axis=1, keepdims=True)
+        gbest = jnp.max(carry_f[3 * LANES : 4 * LANES], axis=1, keepdims=True)
+        rem = best % ((Lq + 1) * Lr)
+        score_ref[:] = best // ((Lq + 1) * Lr)
+        qend_ref[:] = Lq - rem // Lr + 1
+        rend_ref[:] = Lr - 1 - rem % Lr + 1
+        gscore_ref[:] = gbest // Lr
+        grend_ref[:] = Lr - 1 - gbest % Lr + 1
+
+    return kernel
+
+
+def _mk_cigar_kernel(Lq: int, Lr: int, params, max_ops: int):
+    """Banded DP + in-kernel traceback: directions stay in a VMEM scratch
+    (never HBM) indexed (i, lane, c), the backtrack walk runs on the
+    scalar core, and the cigar comes out as SMEM scalars — one launch
+    replaces the Lq+Lr-iteration XLA traceback loop of
+    align/sw.py:_traceback_packed (~190 ms → ~25 ms per 8k batch,
+    docs/PERF_NOTES.md)."""
+    p_match, p_mis, p_open, p_ext = params
+
+    def kernel(qlen_ref, q_ref, ref_ref, score_ref, qend_ref, rend_ref,
+               gscore_ref, grend_ref, ops_ref, lens_ref, nops_ref,
+               qbeg_ref, rbeg_ref, nm_ref, dirs_ref):
+        ref = ref_ref[:].astype(jnp.int32)            # (LANES, Lr)
+
+        def splat(read_scalar):
+            row_id = jax.lax.broadcasted_iota(jnp.int32, (LANES, BAND), 0)
+            acc = jax.lax.broadcasted_iota(jnp.int32, (LANES, BAND), 1) * 0
+            for l in range(LANES):
+                acc = jnp.where(row_id == l, read_scalar(l), acc)
+            return acc
+
+        qlen_full = splat(lambda l: qlen_ref[l, 0])
+
+        def body(i, carry):
+            H = carry[0:LANES]
+            V = carry[LANES : 2 * LANES]
+            best = carry[2 * LANES : 3 * LANES]
+            gbest = carry[3 * LANES : 4 * LANES]
+            runs = carry[4 * LANES : 5 * LANES]
+            misrun = carry[5 * LANES : 6 * LANES]
+            qc = splat(lambda l: q_ref[l, i])
+            col, Hn, Vn, d, vext, fext, is_match, valid_row = _row_ops(
+                i, H, V, ref, qc, qlen_full, p_match, p_mis, p_open, p_ext,
+                Lq, Lr)
+            mis = (~is_match).astype(jnp.int32)
+            # diagonal-run bookkeeping: a diag move stays at the SAME band
+            # column c, so run length / run mismatches are plain recurrent
+            # updates — the traceback jumps whole match runs in one step
+            # instead of walking ~Lq cells serially per lane
+            is_d = d == 1
+            runs_n = jnp.where(is_d, jnp.minimum(runs + 1, 127), 0)
+            misrun_n = jnp.where(is_d, jnp.minimum(misrun + mis, 127), 0)
+            packed = (
+                d | (vext << 2) | (fext << 3)
+                | (mis << 4)                  # bit 4: mismatch
+                | (runs_n << 5)               # bits 5-11: diag run length
+                | (misrun_n << 12)            # bits 12-18: run mismatches
+            )
+            packed = jnp.where(valid_row, packed, 0)
+            dirs_ref[pl.ds(i, 1), :, :] = packed[None]
+            jg = i + col
+            cand = (Hn * (Lq + 1) + (Lq - i)) * Lr + (Lr - 1 - jg)
+            best = jnp.maximum(best, cand)
+            gpk = Hn * Lr + (Lr - 1 - jg)
+            gbest = jnp.where(i == qlen_full - 1, gpk, gbest)
+            return jnp.concatenate(
+                [Hn, Vn, best, gbest, runs_n, misrun_n], axis=0)
+
+        z = jax.lax.broadcasted_iota(jnp.int32, (LANES, BAND), 1) * 0
+        carry0 = jnp.concatenate([z, z + NEG, z, z, z, z], axis=0)
         carry_f = jax.lax.fori_loop(0, Lq, body, carry0)
         best = jnp.max(carry_f[2 * LANES : 3 * LANES], axis=1, keepdims=True)
         gbest = jnp.max(carry_f[3 * LANES : 4 * LANES], axis=1, keepdims=True)
@@ -240,6 +226,8 @@ def _mk_cigar_kernel(Lq: int, Lr: int, params, max_ops: int):
         grend_ref[:] = Lr - 1 - gbest % Lr + 1
 
         # ---- per-lane scalar traceback over the VMEM dirs scratch --------
+        # walk state is (i, j) in GLOBAL coords; the dirs cell for (i, j)
+        # sits at band column c = j - i
         for l in range(LANES):
             bi = qend_v[l, 0] - 1
             bj = rend_v[l, 0] - 1
@@ -251,22 +239,27 @@ def _mk_cigar_kernel(Lq: int, Lr: int, params, max_ops: int):
             def step(st):
                 i, j, mode, kop, cur_op, cur_len, nm, done, steps = st
                 ii = jnp.clip(i, 0, Lq - 1)
-                jj = jnp.clip(j, 0, Lr - 1)
+                cc = jnp.clip(j - i, 0, BAND - 1)
                 # dynamic lane-dim scalar loads are not legal in Mosaic —
-                # load the (1, Lr) row and extract via masked reduce
-                rowv = dirs_ref[ii, pl.ds(l, 1), :]        # (1, Lr)
-                colv = jax.lax.broadcasted_iota(jnp.int32, (1, Lr), 1)
-                p = jnp.sum(jnp.where(colv == jj, rowv, 0))
+                # load the (1, BAND) row and extract via masked reduce
+                rowv = dirs_ref[ii, pl.ds(l, 1), :]        # (1, BAND)
+                colv = jax.lax.broadcasted_iota(jnp.int32, (1, BAND), 1)
+                p = jnp.sum(jnp.where(colv == cc, rowv, 0))
                 d = p & 3
                 ve = (p >> 2) & 1
                 fe = (p >> 3) & 1
-                mis = (p >> 4) & 1
-                oob = (i < 0) | (j < 0)
+                oob = (i < 0) | (j < 0) | (j - i < 0) | (j - i >= BAND)
                 d_eff = jnp.where(
                     mode == 1, 2,
                     jnp.where(mode == 2, 3, jnp.where(oob, 0, d)))
                 fin = d_eff == 0
                 op = jnp.where(d_eff == 1, 0, jnp.where(d_eff == 2, 1, 2))
+                # diag moves jump the WHOLE run recorded in bits 5-11 (same
+                # band column → precomputed in the DP), with the run's
+                # mismatch count in bits 12-18
+                step_len = jnp.where(
+                    d_eff == 1, jnp.maximum((p >> 5) & 127, 1), 1)
+                nm_add = jnp.where(d_eff == 1, (p >> 12) & 127, 1)
                 # flush previous run when op changes
                 change = (~fin) & (cur_len > 0) & (op != cur_op)
                 kflush = jnp.clip(kop, 0, max_ops - 1)
@@ -277,18 +270,15 @@ def _mk_cigar_kernel(Lq: int, Lr: int, params, max_ops: int):
                 kop2 = jnp.where(change | (fin & (cur_len > 0)), kop + 1, kop)
                 cur_op2 = jnp.where(fin, cur_op, op)
                 cur_len2 = jnp.where(
-                    fin, 0, jnp.where(change, 1, cur_len + 1))
-                # in a fresh run (no change, cur_len==0): set cur_len 1
-                cur_len2 = jnp.where(
-                    (~fin) & (~change) & (cur_len == 0), 1, cur_len2)
-                nm2 = jnp.where(
-                    fin, nm,
-                    nm + jnp.where(d_eff == 1, mis, 1))
+                    fin, 0, jnp.where(change, step_len, cur_len + step_len))
+                nm2 = jnp.where(fin, nm, nm + nm_add)
                 is_diag = (~fin) & (d_eff == 1)
                 is_vert = (~fin) & (d_eff == 2)
                 is_horiz = (~fin) & (d_eff == 3)
-                i2 = jnp.where(is_diag | is_vert, i - 1, i)
-                j2 = jnp.where(is_diag | is_horiz, j - 1, j)
+                i2 = jnp.where(
+                    is_diag, i - step_len, jnp.where(is_vert, i - 1, i))
+                j2 = jnp.where(
+                    is_diag, j - step_len, jnp.where(is_horiz, j - 1, j))
                 mode2 = jnp.where(
                     is_vert & (ve == 1), 1,
                     jnp.where(is_horiz & (fe == 1), 2, 0))
@@ -330,16 +320,18 @@ def _mk_cigar_kernel(Lq: int, Lr: int, params, max_ops: int):
     jax.jit, static_argnames=("params", "max_ops", "interpret")
 )
 def sw_pallas_cigar(
-    query: jnp.ndarray,   # (N, Lq) int32, N multiple of 8
+    query: jnp.ndarray,   # (N, Lq) int32, N multiple of LANES
     qlen: jnp.ndarray,    # (N,) int32
     ref: jnp.ndarray,     # (N, Lr) int32, Lr ≤ 256 (multiple of 128)
     params: Tuple[int, int, int, int] = (1, 4, 6, 1),
     max_ops: int = 48,
     interpret: bool = False,
 ):
-    """DP + traceback in one launch.  Returns (score, qbeg, qend, rbeg,
-    rend, gscore, grend, ops, lens, n_ops, nm); ops/lens are (N, max_ops)
-    int32 in alignment order (no clips), valid up to n_ops."""
+    """Banded DP + traceback in one launch.  Returns (score, qbeg, qend,
+    rbeg, rend, gscore, grend, ops, lens, n_ops, nm); ops/lens are
+    (N, max_ops) int32 in alignment order (no clips), valid up to n_ops.
+    Alignments are found within the diagonal band j - i ∈ [0, 128) —
+    exactly the windows align/core.py anchors (see module docstring)."""
     N, Lq = query.shape
     Lr = ref.shape[1]
     assert N % LANES == 0 and Lr <= 256
@@ -367,7 +359,7 @@ def sw_pallas_cigar(
         ],
         out_shape=out_shape,
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((Lq, LANES, Lr), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((Lq, LANES, BAND), jnp.int32)],
         interpret=interpret,
     )(
         qlen[:, None].astype(jnp.int32),
@@ -383,18 +375,17 @@ def sw_pallas_cigar(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "with_dirs", "interpret")
+    jax.jit, static_argnames=("params", "interpret")
 )
 def sw_pallas(
-    query: jnp.ndarray,   # (N, Lq) int32, N multiple of 8
+    query: jnp.ndarray,   # (N, Lq) int32, N multiple of LANES
     qlen: jnp.ndarray,    # (N,) int32
     ref: jnp.ndarray,     # (N, Lr) int32, Lr ≤ 256 (multiple of 128)
     params: Tuple[int, int, int, int] = (1, 4, 6, 1),
-    with_dirs: bool = False,
     interpret: bool = False,
 ):
-    """Run the DP kernel.  Returns (score, qend, rend, gscore, grend[,
-    dirs_packed (Lq, N, Lr) uint8])."""
+    """Run the banded score-only DP kernel.  Returns (score, qend, rend,
+    gscore, grend)."""
     N, Lq = query.shape
     Lr = ref.shape[1]
     assert N % LANES == 0 and Lr <= 256
@@ -407,15 +398,8 @@ def sw_pallas(
         pl.BlockSpec((LANES, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
         for _ in range(5)
     ]
-    if with_dirs:
-        out_shape.append(jax.ShapeDtypeStruct((Lq, N, Lr), jnp.uint8))
-        out_specs.append(
-            pl.BlockSpec(
-                (Lq, LANES, Lr), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            )
-        )
     outs = pl.pallas_call(
-        _mk_kernel(Lq, Lr, params, with_dirs),
+        _mk_kernel(Lq, Lr, params),
         grid=grid,
         in_specs=[
             pl.BlockSpec((LANES, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
@@ -431,6 +415,4 @@ def sw_pallas(
         ref.astype(jnp.int32),
     )
     score, qend, rend, gscore, grend = [o[:, 0] for o in outs[:5]]
-    if with_dirs:
-        return score, qend, rend, gscore, grend, outs[5]
     return score, qend, rend, gscore, grend
