@@ -609,6 +609,11 @@ def assemble_records(
         )
         dup &= ok1
 
+    # samblaster --maxSplitCount caps the number of split pieces a read
+    # may have to enter the splitter file (bin/speedseq:242); this aligner
+    # emits at most primary+1 supplementary = 2 pieces, so the cap gates
+    # splitter emission entirely when set below 2
+    split_ok = cfg.max_split_count >= 2
     for i in range(n):
         r1 = rows1[i]
         r2 = rows2[i] if paired else None
@@ -616,7 +621,7 @@ def assemble_records(
         for rec, is_split, is_disc in recs:
             main.append(rec)
             dup_ok = not (rec.flag & FDUP) or cfg.include_dups_in_side
-            if is_split and dup_ok:
+            if is_split and dup_ok and split_ok:
                 splitters.append(strip_seq(rec))
             if is_disc and dup_ok:
                 discordants.append(strip_seq(rec))

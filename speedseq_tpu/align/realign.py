@@ -127,6 +127,30 @@ def iter_bam_pairs(
                     yield flush()
     if buf:
         yield flush()
+    # orphans: reads whose mate never appeared (truncated BAM, single-end
+    # read groups, mate filtered upstream) are realigned single-end rather
+    # than silently dropped
+    if pending:
+        orphans = list(pending.values())
+        pending.clear()
+        for i in range(0, len(orphans), batch_size):
+            chunk = orphans[i : i + batch_size]
+            n = len(chunk)
+            seq = np.full((n, max_len), 4, np.uint8)
+            qual = np.zeros((n, max_len), np.uint8)
+            length = np.zeros(n, np.int32)
+            names, comments = [], []
+            for j, rec in enumerate(chunk):
+                s, q = _record_to_read(rec)
+                L = min(len(s), max_len)
+                seq[j, :L] = s[:L]
+                qual[j, :L] = q[:L]
+                length[j] = L
+                nm = f"r{n_emitted}" if rename else rec.qname
+                n_emitted += 1
+                names.append(nm)
+                comments.append(f"RG:{rec.get_tag('RG') or ''}")
+            yield ReadBatch(seq, qual, length, names, comments), None
 
 
 def realign(

@@ -16,6 +16,30 @@ import sys
 from typing import List, Optional
 
 
+def _warn_vep(args) -> None:
+    """-A is parsed for reference-CLI compatibility but VEP is an external
+    annotator even in the reference (README.md:96-109); run it on the
+    emitted vcf.gz directly (documented in README 'Deliberate deviations')."""
+    if getattr(args, "A", False):
+        print(
+            "warning: -A (VEP annotation) is not bundled; run VEP on the "
+            "output vcf.gz directly",
+            file=sys.stderr,
+        )
+
+
+def _kconfig(args):
+    """Load the -K speedseq.config equivalent (bin/speedseq:291-293);
+    explicit CLI flags take precedence over config-file values."""
+    from .config import SpeedseqConfig
+
+    return SpeedseqConfig.load(getattr(args, "K", None))
+
+
+def _threads(args, kcfg) -> int:
+    return args.t if args.t is not None else kcfg.threads
+
+
 def _parse_insert_override(s: str):
     parts = [float(x) for x in s.split(",")]
     mean = parts[0]
@@ -28,6 +52,7 @@ def _parse_insert_override(s: str):
 def _align_config(args, paired_required=True):
     from .align.pipeline import AlignConfig
 
+    kcfg = _kconfig(args)
     rg_id, sample = "1", "sample"
     if args.R:
         d = dict(
@@ -38,7 +63,7 @@ def _align_config(args, paired_required=True):
         rg_id = d.get("ID", rg_id)
         sample = d.get("SM", sample)
     return AlignConfig(
-        batch_size=args.batch_size,
+        batch_size=args.batch_size or kcfg.batch_size,
         rg_id=rg_id,
         sample=sample,
         rg_string=args.R,
@@ -86,17 +111,22 @@ def cmd_realign(args) -> int:
 
 def cmd_var(args) -> int:
     from .var import run_var
+
+    _warn_vep(args)
     from .var.engine import VarConfig
     from .var.caller import CallerConfig
 
+    kcfg = _kconfig(args)
     out = args.o or os.path.basename(args.bams[0]).rsplit(".", 1)[0]
     output = out + ".vcf.gz"
     run_var(
         args.reference,
         args.bams,
         output,
-        windows_bed=args.w,
-        config=VarConfig(min_qual=args.q, verbose=args.v),
+        windows_bed=args.w or kcfg.windows_bed,
+        config=VarConfig(
+            min_qual=args.q, threads=_threads(args, kcfg), verbose=args.v
+        ),
     )
     print(output)
     return 0
@@ -104,8 +134,11 @@ def cmd_var(args) -> int:
 
 def cmd_somatic(args) -> int:
     from .var.somatic import SomaticConfig, run_somatic
+
+    _warn_vep(args)
     from .var.caller import CallerConfig
 
+    kcfg = _kconfig(args)
     out = args.o or os.path.basename(args.tumor_bam).rsplit(".", 1)[0]
     output = out + ".vcf.gz"
     run_somatic(
@@ -113,11 +146,12 @@ def cmd_somatic(args) -> int:
         args.normal_bam,
         args.tumor_bam,
         output,
-        windows_bed=args.w,
+        windows_bed=args.w or kcfg.windows_bed,
         config=SomaticConfig(
             min_qual=args.q,
             ssc_threshold=args.S,
             only_somatic=args.only_somatic,
+            threads=_threads(args, kcfg),
             caller=CallerConfig(
                 min_alternate_fraction=args.F,
                 min_alternate_count=args.C,
@@ -132,6 +166,8 @@ def cmd_somatic(args) -> int:
 
 def cmd_sv(args) -> int:
     from .sv import run_sv, SVConfig
+
+    _warn_vep(args)
     from .sv.engine import SVSample
     from .formats.bam import BAMReader
 
@@ -151,6 +187,7 @@ def cmd_sv(args) -> int:
                     name = [x for x in line.split("\t") if x.startswith("SM:")][0][3:]
                     break
         samples.append(SVSample(name, f, s, d))
+    kcfg = _kconfig(args)
     out = args.o or os.path.basename(fulls[0]).rsplit(".", 1)[0]
     output = out + ".sv.vcf.gz"
     run_sv(
@@ -161,8 +198,9 @@ def cmd_sv(args) -> int:
             genotype=args.g,
             annotate_depth=args.d,
             prob_curves=args.P,
-            exclude_bed=args.x,
+            exclude_bed=args.x or kcfg.exclude_bed,
             reference=args.R,
+            threads=_threads(args, kcfg),
             verbose=args.v,
         ),
     )
@@ -180,13 +218,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     def common(sp):
         sp.add_argument("-o", metavar="STR", help="output prefix")
-        sp.add_argument("-t", type=int, default=1, metavar="INT", help="threads")
+        sp.add_argument("-t", type=int, default=None, metavar="INT",
+                        help="threads for host fan-out [config or 1]")
         sp.add_argument("-T", metavar="DIR", help="temp directory")
         sp.add_argument("-K", metavar="FILE", help="speedseq.config path")
         sp.add_argument("-v", action="store_true", help="verbose")
         sp.add_argument("-k", action="store_true", help="keep temporary files")
         sp.add_argument(
-            "--batch-size", type=int, default=512, help="device batch size"
+            "--batch-size", type=int, default=None,
+            help="device batch size [config or 512]",
         )
         sp.add_argument(
             "--seed-mode", choices=["hash", "fm"], default="hash",

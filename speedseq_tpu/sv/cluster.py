@@ -85,7 +85,13 @@ def cluster_breakpoints(
             if not cluster:
                 return
             w = sum(b.weight for b in cluster)
-            if w < min_weight:
+            # lumpy -m is minimum weight within a single sample
+            # (bin/speedseq:1242): pooled cross-sample evidence alone must
+            # not produce a call no sample individually supports
+            per_sample: Dict[int, int] = {}
+            for b in cluster:
+                per_sample[b.sample] = per_sample.get(b.sample, 0) + b.weight
+            if max(per_sample.values()) < min_weight:
                 return
             pos1, ci1, ci195, pr1 = _combine(
                 [(b.start1, b.prob1) for b in cluster]

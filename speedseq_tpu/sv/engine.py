@@ -19,7 +19,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..formats import tabix as tabix_mod
-from ..formats.bam import BAMReader
+from ..formats.bam import BAMReader, BAMWriter
 from ..formats.bed import ExcludeMask, read_bed
 from ..formats.vcf import VCFHeader, VCFRecord, VCFWriter
 from .cluster import SVCall, cluster_breakpoints
@@ -44,6 +44,7 @@ class SVConfig:
     prob_curves: bool = True       # lumpy -P (:1312-1313)
     exclude_bed: Optional[str] = None
     reference: Optional[str] = None  # needed for -d
+    threads: int = 1               # -t: per-sample genotyping fan-out
     verbose: bool = False
 
 
@@ -120,12 +121,66 @@ def _sample_format(gr: Optional[GenotypeResult], call: SVCall, si: int,
     return d
 
 
+def extract_side_bams(
+    full_bam: str, splitters_out: str, discordants_out: str,
+    max_split_count: int = 2,
+) -> None:
+    """lumpyexpress front-end behavior: when a sample arrives without
+    splitter/discordant BAMs, regenerate them from the full BAM — the
+    reference name-groups and re-runs samblaster extraction
+    (bin/speedseq:1377-1386).  Here one streaming pass classifies:
+
+    - splitters: non-duplicate records carrying an SA tag with at most
+      ``max_split_count`` total alignments (samblaster --maxSplitCount 2)
+    - discordants: primary, paired, both-mapped, non-proper-pair records
+      (samblaster --discordantFile semantics)
+    """
+    from ..formats.sam import (
+        FDUP, FMUNMAP, FPAIRED, FPROPER_PAIR, FSECONDARY,
+        FSUPPLEMENTARY, FUNMAP,
+    )
+
+    with BAMReader(full_bam) as rd:
+        with BAMWriter(splitters_out, rd.header) as spl, BAMWriter(
+            discordants_out, rd.header
+        ) as disc:
+            for rec in rd:
+                if rec.flag & (FDUP | FSECONDARY) or rec.flag & FUNMAP:
+                    continue
+                sa = rec.get_tag("SA")
+                if sa and str(sa).rstrip(";").count(";") + 2 <= max_split_count:
+                    spl.write(rec)
+                if rec.flag & FSUPPLEMENTARY:
+                    continue
+                if (
+                    rec.flag & FPAIRED
+                    and not rec.flag & FMUNMAP
+                    and not rec.flag & FPROPER_PAIR
+                ):
+                    disc.write(rec)
+
+
+def _ensure_side_bams(samples: List[SVSample], verbose: bool) -> None:
+    for s in samples:
+        if os.path.exists(s.splitters) and os.path.exists(s.discordants):
+            continue
+        base = s.full[:-4] if s.full.endswith(".bam") else s.full
+        if not os.path.exists(s.splitters):
+            s.splitters = base + ".splitters.autogen.bam"
+        if not os.path.exists(s.discordants):
+            s.discordants = base + ".discordants.autogen.bam"
+        if verbose:
+            print(f"[sv] extracting splitters/discordants from {s.full}")
+        extract_side_bams(s.full, s.splitters, s.discordants)
+
+
 def run_sv(
     samples: List[SVSample],
     output: str,
     config: SVConfig = SVConfig(),
 ) -> str:
     cfg = config
+    _ensure_side_bams(samples, cfg.verbose)
     stats = [InsertStats.from_bam(s.full) for s in samples]
     if cfg.verbose:
         for s, st in zip(samples, stats):
@@ -168,11 +223,26 @@ def run_sv(
         fmt_keys.append("CN")
 
     header = build_sv_header(refs, [s.name for s in samples], cfg)
+
+    # per-sample genotyping fan-out (the reference loops `svtyper` per
+    # sample, bin/speedseq:1490-1505; -t parallelizes across samples)
+    def _geno_sample(si: int) -> List[Optional[GenotypeResult]]:
+        g = genotypers[si]
+        if g is None:
+            return [None] * len(calls)
+        return [g.genotype(c) for c in calls]
+
+    if cfg.threads > 1 and len(samples) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=cfg.threads) as pool:
+            grs_all = list(pool.map(_geno_sample, range(len(samples))))
+    else:
+        grs_all = [_geno_sample(si) for si in range(len(samples))]
+
     records: List[VCFRecord] = []
     for vid, call in enumerate(calls, start=1):
-        grs = [
-            g.genotype(call) if g is not None else None for g in genotypers
-        ]
+        grs = [grs_all[si][vid - 1] for si in range(len(samples))]
         cns = [
             (
                 d.genotype(

@@ -106,7 +106,12 @@ class SVGenotyper:
                     out.append(rec)
         return out
 
-    def genotype(self, call: SVCall, min_mapq: int = 0) -> GenotypeResult:
+    def genotype(self, call: SVCall, min_mapq: int = 1) -> GenotypeResult:
+        """Count ref/alt support at both breakpoints.
+
+        min_mapq defaults to 1 so MAPQ-0 multi-mappers piled on repeats
+        don't count as evidence (svtyper excludes ambiguous placements).
+        """
         stats = self.stats
         w = stats.max_normal
         slop = 6
@@ -204,9 +209,17 @@ class SVGenotyper:
             if rec.pos < call.pos1 < mend and rec.flag & FPROPER_PAIR:
                 return False
             return None
-        # BND
+        # BND: require both ends near their breakpoints with read
+        # orientations matching the junction strands (a + breakend is
+        # approached by a forward read, a - breakend by a reverse read)
         if rec.tid == call.tid1 and rec.mtid == call.tid2:
-            return True
+            near1 = abs(rec.pos - call.pos1) < stats.max_normal
+            near2 = abs(rec.mpos - call.pos2) < stats.max_normal
+            orient_ok = (rev1 == (call.strand1 == 1)) and (
+                rev2 == (call.strand2 == 1)
+            )
+            if near1 and near2 and orient_ok:
+                return True
         if rec.pos < call.pos1 < mend and rec.flag & FPROPER_PAIR:
             return False
         return None

@@ -4,8 +4,11 @@ Reference contract (bin/speedseq:506-833):
 - windows from ``-w`` BED else one per chromosome from the BAM header @SQ
   (:677-687), scheduled most-expensive-first (README.md:153-155)
 - per-window freebayes with ``--min-repeat-entropy 1`` (:704-710)
-- per-window filter ``QUAL >= MINQUAL && RPR > 0 && RPL > 0`` with
-  MINQUAL default 1 (vawk at :709; default :544)
+- per-window vawk filter ``$6>=MINQUAL && I$RPR>0 && I$RPL>0`` with
+  MINQUAL default 1 (:709; default :544) — evaluated through the same
+  vawk-expression compiler (formats/vcf_filter.py)
+- windows fanned out over ``-t`` workers (``parallel -j $THREADS``,
+  :719) — here a thread pool with per-thread BAM readers
 - windows merged by coordinate sort, header from first window, bgzip,
   tabix (:722-806, :815)
 Multi-sample: one VCF column per distinct SM read group across the input
@@ -15,6 +18,8 @@ BAMs (README.md:250-253).
 from __future__ import annotations
 
 import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -26,6 +31,7 @@ from ..formats.bam import BAMReader
 from ..formats.bed import BedInterval, longest_first, read_bed, windows_from_refs
 from ..formats.fasta import FastaFile
 from ..formats.vcf import VCFHeader, VCFWriter
+from ..formats.vcf_filter import compile_filter
 from .caller import CallerConfig, call_window, site_to_vcf
 from .pileup import build_pileup
 
@@ -36,6 +42,7 @@ class VarConfig:
     window_size: int = 100_000      # internal chunking of chromosome windows
     caller: CallerConfig = field(default_factory=CallerConfig)
     apply_balance_filter: bool = True  # the RPR>0 && RPL>0 vawk filter
+    threads: int = 1                # speedseq -t (parallel -j, bin/speedseq:719)
     verbose: bool = False
 
 
@@ -98,7 +105,7 @@ def build_var_header(
                "Reads Placed Right: reads supporting the alternate balanced to the right")
     h.add_info("SAF", "A", "Integer", "Alternate allele observations on the forward strand")
     h.add_info("SAR", "A", "Integer", "Alternate allele observations on the reverse strand")
-    h.add_info("TYPE", "A", "String", "The type of allele: snp, ins or del")
+    h.add_info("TYPE", "A", "String", "The type of allele: snp, mnp, ins, del or complex")
     h.add_info("LEN", "A", "Integer", "Allele length")
     h.add_info("NUMALT", "1", "Integer", "Number of alternate alleles")
     if somatic:
@@ -129,14 +136,24 @@ def run_var(
     """
     cfg = config
     fa = FastaFile(reference)
-    readers = [BAMReader(p) for p in bam_paths]
+    with BAMReader(bam_paths[0]) as rd0:
+        refs = rd0.header.refs
+    readers0 = [BAMReader(p) for p in bam_paths]
     indexes = []
     for p in bam_paths:
         if not os.path.exists(p + ".bai"):
             bai_mod.build_bai(p)
         indexes.append(bai_mod.read_bai(p + ".bai"))
-    samples, rg_map, default_map = _sample_map(readers, bam_paths)
-    refs = readers[0].header.refs
+    samples, rg_map, default_map = _sample_map(readers0, bam_paths)
+    for rd in readers0:
+        rd.close()
+
+    # the reference's per-window vawk filter (bin/speedseq:709), compiled
+    # by the vawk-expression engine
+    expr = f"$6>={cfg.min_qual!r}"
+    if cfg.apply_balance_filter:
+        expr += " && I$RPR>0 && I$RPL>0"
+    driver_filter = compile_filter(expr)
 
     # windows: BED or per-chromosome (bin/speedseq:677-687), internally
     # chunked, scheduled longest-first (README.md:153-155)
@@ -148,52 +165,74 @@ def run_var(
 
     ref_names = [n for n, _ in refs]
     genome_cache: Dict[str, np.ndarray] = {}
-    records = []
-    for w in windows:
+    cache_lock = threading.Lock()
+    tls = threading.local()
+
+    def _readers() -> List[BAMReader]:
+        if not hasattr(tls, "readers"):
+            tls.readers = [BAMReader(p) for p in bam_paths]
+        return tls.readers
+
+    def _genome(chrom: str) -> np.ndarray:
+        with cache_lock:
+            if chrom not in genome_cache:
+                genome_cache[chrom] = fa.fetch_encoded(chrom)
+            return genome_cache[chrom]
+
+    def _one_window(item: Tuple[int, BedInterval]):
+        wi, w = item
         if w.chrom not in ref_names:
-            continue
+            return wi, []
         tid = ref_names.index(w.chrom)
-        if w.chrom not in genome_cache:
-            genome_cache[w.chrom] = fa.fetch_encoded(w.chrom)
-        genome = genome_cache[w.chrom]
+        genome = _genome(w.chrom)
         recs = []
-        for bi, rd in enumerate(readers):
+        for bi, rd in enumerate(_readers()):
             for rec in _fetch_window(rd, indexes[bi], tid, w.start, w.end):
                 rg = rec.get_tag("RG") or ""
                 si = rg_map.get((bi, rg), default_map.get(bi, 0))
                 recs.append((rec, si))
         if not recs:
-            continue
+            return wi, []
         pile = build_pileup(
             recs, w.start, w.end,
             min_mapq=cfg.caller.min_mapq, min_baseq=cfg.caller.min_baseq,
         )
         calls = call_window(genome, pile, len(samples), cfg.caller)
+        out = []
         for c in calls:
             rec = site_to_vcf(c, w.chrom, w.start, len(samples))
-            # driver filter: QUAL >= MINQUAL && RPR>0 && RPL>0
-            # (bin/speedseq:709)
-            if rec.qual is not None and rec.qual < cfg.min_qual:
-                continue
-            if cfg.apply_balance_filter and (c.rpl <= 0 or c.rpr <= 0):
+            if not driver_filter(rec):
                 continue
             if record_filter is not None:
                 rec = record_filter(rec)
                 if rec is None:
                     continue
-            records.append(rec)
+            out.append(rec)
         if cfg.verbose:
             print(f"[var] {w.chrom}:{w.start}-{w.end}: {len(calls)} sites")
+        return wi, out
 
-    # deterministic merge: coordinate sort (bin/speedseq:800-806)
+    items = list(enumerate(windows))
+    results = []
+    if cfg.threads > 1:
+        with ThreadPoolExecutor(max_workers=cfg.threads) as pool:
+            results = list(pool.map(_one_window, items))
+    else:
+        results = [_one_window(it) for it in items]
+
+    # deterministic merge: coordinate sort, window order as tiebreak
+    # (bin/speedseq:800-806)
     order = {n: i for i, n in enumerate(ref_names)}
-    records.sort(key=lambda r: (order.get(r.chrom, 1 << 30), r.pos))
+    tagged = [
+        (order.get(r.chrom, 1 << 30), r.pos, wi, r)
+        for wi, recs in results
+        for r in recs
+    ]
+    tagged.sort(key=lambda t: t[:3])
     header = build_var_header(refs, samples)
     with VCFWriter(output, header) as w_:
-        for r in records:
+        for _, _, _, r in tagged:
             w_.write(r)
     if output.endswith(".gz"):
         tabix_mod.build_tbi(output)  # bin/speedseq:815
-    for rd in readers:
-        rd.close()
     return output

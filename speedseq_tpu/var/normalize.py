@@ -15,6 +15,29 @@ import numpy as np
 _BASES = "ACGTN"
 
 
+def primitives(pos: int, ref: str, alt: str):
+    """Decompose an MNP/complex allele into primitive variants
+    (vcflib vcfallelicprimitives semantics [external knowledge], used by
+    consumers comparing haplotype-caller output against per-site truth).
+
+    Equal-length alleles decompose into per-base SNVs; length-changing
+    alleles are returned whole (after shared prefix/suffix trimming).
+    """
+    # trim shared suffix then prefix (parsimony)
+    while len(ref) > 1 and len(alt) > 1 and ref[-1] == alt[-1]:
+        ref, alt = ref[:-1], alt[:-1]
+    while len(ref) > 1 and len(alt) > 1 and ref[0] == alt[0]:
+        ref, alt = ref[1:], alt[1:]
+        pos += 1
+    if len(ref) == len(alt):
+        return [
+            (pos + i, ref[i], alt[i])
+            for i in range(len(ref))
+            if ref[i] != alt[i]
+        ]
+    return [(pos, ref, alt)]
+
+
 def left_align(
     genome: np.ndarray, pos: int, ref: str, alt: str
 ) -> Tuple[int, str, str]:

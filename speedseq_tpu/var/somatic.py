@@ -27,6 +27,7 @@ class SomaticConfig:
     min_qual: float = 1e-5        # speedseq somatic -q default (:888)
     ssc_threshold: float = 18.0   # -s default (:889)
     only_somatic: bool = False    # -o flag
+    threads: int = 1              # -t window fan-out
     caller: CallerConfig = field(
         default_factory=lambda: CallerConfig(
             min_alternate_fraction=0.05,  # bin/speedseq:1064
@@ -114,6 +115,7 @@ def run_somatic(
         min_qual=0.0,                  # somatic has its own QUAL handling
         caller=cfg.caller,
         apply_balance_filter=False,    # somatic mode has no RPR/RPL filter
+        threads=cfg.threads,
         verbose=cfg.verbose,
     )
     out = run_var(

@@ -122,6 +122,39 @@ def test_realign_roundtrip(small_run):
     assert all(r.get_tag("RG") == "rg9" for r in re_recs[:10])
 
 
+def test_realign_orphan_reads_not_dropped(small_run, tmp_path):
+    # a truncated/odd BAM (mate missing for some pairs) must still realign
+    # the orphaned ends as single-end reads instead of silently losing them
+    from speedseq_tpu.formats.bam import BAMReader, BAMWriter
+
+    d, truth = small_run
+    cfg = AlignConfig(batch_size=64, rg_string="@RG\\tID:rg9\\tSM:NA")
+    outs = align_fastq(REF, str(d / "a1.fq"), str(d / "a2.fq"),
+                       out_prefix=str(tmp_path / "full"), config=cfg)
+    hdr, recs = read_bam(outs["bam"])
+    prim = [r for r in recs if not (r.flag & 0x900) and r.seq != "*"]
+    qnames = sorted({r.qname for r in prim})
+    drop_r2 = set(qnames[:7])  # orphan 7 pairs by dropping their read2
+    odd = str(tmp_path / "odd.bam")
+    with BAMReader(outs["bam"]) as rd:
+        with BAMWriter(odd, rd.header) as w:
+            for r in rd:
+                if r.qname in drop_r2 and r.flag & 0x80:
+                    continue
+                w.write(r)
+    routs = realign(REF, [odd], str(tmp_path / "re"),
+                    config=AlignConfig(batch_size=64))
+    hdr2, re_recs = read_bam(routs["bam"])
+    out_qnames = {r.qname for r in re_recs if not (r.flag & 0x900)}
+    assert drop_r2 <= out_qnames, drop_r2 - out_qnames
+    # every input primary read (by qname+end) survives the round trip
+    n_in = len({(r.qname, r.flag & 0xC0) for r in prim
+                if not (r.qname in drop_r2 and r.flag & 0x80)})
+    n_out = len({(r.qname, r.flag & 0xC0) for r in re_recs
+                 if not (r.flag & 0x900)})
+    assert n_out == n_in, (n_out, n_in)
+
+
 def test_rg_library_grouping():
     txt = "@RG\tID:a\tSM:s\tLB:l1\n@RG\tID:b\tSM:s\tLB:l1\n@RG\tID:c\tSM:s\tLB:l2"
     libs = read_groups_by_library(txt)

@@ -169,3 +169,45 @@ def test_exclude_bed(sv_run, tmp_path):
     types = [r.info.get("SVTYPE") for r in recs]
     assert "DEL" not in types
     assert "DUP" in types and "INV" in types
+
+
+def test_cluster_per_sample_min_weight():
+    # lumpy -m is per-sample: 3+3 pooled across two samples must NOT call,
+    # 4+2 (one sample reaching 4) must
+    st = InsertStats.synthetic(300, 50)
+    prob = np.ones(50) / 50
+
+    def bp(start1, start2, sample):
+        return Breakpoint(
+            svtype=DEL, tid1=0, strand1=0, start1=start1, prob1=prob.copy(),
+            tid2=0, strand2=1, start2=start2, prob2=prob.copy(),
+            weight=1, sample=sample, is_split=False,
+        )
+
+    ev = [bp(1000 + i * 5, 3000 + i * 5, sample=i % 2) for i in range(6)]
+    assert cluster_breakpoints(ev, min_weight=4) == []  # 3 + 3
+    ev = [bp(1000 + i * 5, 3000 + i * 5, sample=0 if i < 4 else 1)
+          for i in range(6)]
+    calls = cluster_breakpoints(ev, min_weight=4)       # 4 + 2
+    assert len(calls) == 1 and calls[0].su == 6
+
+
+def test_sv_autogen_side_bams(sv_run, tmp_path):
+    # lumpyexpress front-end: `sv -B full.bam` alone regenerates
+    # splitters/discordants from the full BAM (bin/speedseq:1377-1386)
+    import shutil
+
+    d, out, truth = sv_run
+    full = str(tmp_path / "only.bam")
+    shutil.copy(str(d / "s.bam"), full)
+    out2 = run_sv(
+        [SVSample("S1", full, str(tmp_path / "missing.splitters.bam"),
+                  str(tmp_path / "missing.discordants.bam"))],
+        str(tmp_path / "auto.vcf.gz"),
+        SVConfig(genotype=False),
+    )
+    assert os.path.exists(full[:-4] + ".splitters.autogen.bam")
+    assert os.path.exists(full[:-4] + ".discordants.autogen.bam")
+    hdr, recs = read_vcf(out2)
+    types = {r.info.get("SVTYPE") for r in recs}
+    assert {"DEL", "DUP", "INV"} <= types, types

@@ -85,9 +85,18 @@ def var_run(tmp_path_factory):
 
 
 def test_var_recall_precision(var_run):
+    from speedseq_tpu.var.normalize import primitives
+
     d, g, out, truth = var_run
     hdr, recs = read_vcf(out)
-    called = {(r.pos, r.ref, r.alt[0]) for r in recs}
+    # haplotype caller may emit adjacent truth SNVs as one MNP and
+    # multi-allelic records; decompose to primitives for comparison
+    called = {
+        prim
+        for r in recs
+        for a in r.alt
+        for prim in primitives(r.pos, r.ref, a)
+    }
     tp = len(called & truth)
     recall = tp / len(truth)
     precision = tp / max(1, len(called))
@@ -170,3 +179,173 @@ def test_somatic_end_to_end(tmp_path):
     assert os.path.exists(ped)
     content = open(ped).read()
     assert "TUMOR" in content and "NORMAL" in content
+
+
+# ---------------------------------------------------------------------------
+# haplotype-caller unit tests (synthetic pileups, no alignment round-trip)
+# ---------------------------------------------------------------------------
+
+from speedseq_tpu.formats.sam import SAMRecord
+from speedseq_tpu.var.caller import (
+    CallerConfig, call_window, repeat_extend, seq_entropy_bits,
+)
+from speedseq_tpu.var.pileup import build_pileup
+
+
+def _mkread(name, pos, seq, sample=0, flag=0, qch="I"):
+    quals = qch * len(seq)  # "I" = q40
+    rec = SAMRecord(
+        qname=name, flag=flag, tid=0, pos=pos, mapq=60,
+        cigar=[(0, len(seq))], mtid=-1, mpos=-1, tlen=0,
+        seq=seq, qual=quals,
+    )
+    return (rec, sample)
+
+
+def _genome(s):
+    return np.array(["ACGTN".index(c) for c in s], dtype=np.uint8)
+
+
+def _reads_over(gseq, variants_by_read, n=12, pos0=0, rlen=None, sample=0):
+    """n reads spanning the genome; variants_by_read(i) -> {off: base}."""
+    rlen = rlen or len(gseq)
+    reads = []
+    for i in range(n):
+        subs = variants_by_read(i)
+        s = list(gseq)
+        for off, b in subs.items():
+            s[off] = b
+        # alternate strands for SAF/SAR balance
+        flag = 16 if i % 2 else 0
+        reads.append(_mkread(f"r{i}", pos0, "".join(s), sample=sample, flag=flag))
+    return reads
+
+
+def test_triallelic_site():
+    gseq = "ACGTACGTACGTACGTACGT"
+    g = _genome(gseq)
+    # offset 10 (ref G): 4 reads carry A, 4 carry T, 4 ref
+    def vb(i):
+        if i < 4:
+            return {10: "A"}
+        if i < 8:
+            return {10: "T"}
+        return {}
+    reads = _reads_over(gseq, vb, n=12)
+    pile = build_pileup(reads, 0, len(g))
+    calls = call_window(g, pile, 1, CallerConfig(min_alternate_fraction=0.1))
+    assert len(calls) == 1
+    c = calls[0]
+    assert c.offset == 10 and c.ref == "G"
+    assert sorted(c.alts) == ["A", "T"], c.alts
+    # genotype should be alt1/alt2 het (no ref reads dominate): 4/4/4 → 1/2?
+    # with 4 ref obs the best genotype is a het of the two alts or ref/alt;
+    # at minimum both alts appear in the record (NUMALT=2)
+    rec = __import__("speedseq_tpu.var.caller", fromlist=["site_to_vcf"]).site_to_vcf(c, "x", 0, 1)
+    assert rec.info["NUMALT"] == 2
+    assert len(rec.info["AO"]) == 2 and sorted(rec.info["AO"]) == [4, 4]
+    assert len(rec.samples[0]["GL"]) == 6  # G = 3*4/2 for 2 alts
+
+
+def test_adjacent_snvs_emit_mnp():
+    gseq = "ACGTACGTACGTACGTACGT"
+    g = _genome(gseq)
+    # offsets 8,9 (ref A,C) — same 6 reads carry both G and T: one MNP
+    def vb(i):
+        return {8: "G", 9: "T"} if i < 6 else {}
+    reads = _reads_over(gseq, vb, n=12)
+    pile = build_pileup(reads, 0, len(g))
+    calls = call_window(g, pile, 1, CallerConfig(min_alternate_fraction=0.1))
+    assert len(calls) == 1
+    c = calls[0]
+    assert (c.offset, c.ref, c.alts) == (8, "AC", ["GT"]), (c.offset, c.ref, c.alts)
+    assert c.types == ["mnp"]
+
+
+def test_adjacent_snvs_different_reads_joint_haplotypes():
+    from speedseq_tpu.var.normalize import primitives
+
+    gseq = "ACGTACGTACGTACGTACGT"
+    g = _genome(gseq)
+    # offset 8 alt on reads 0-5, offset 9 alt on reads 6-11: two distinct
+    # haplotypes over the window → one multi-allelic record GT 1/2
+    def vb(i):
+        return {8: "G"} if i < 6 else {9: "T"}
+    reads = _reads_over(gseq, vb, n=12)
+    pile = build_pileup(reads, 0, len(g))
+    calls = call_window(g, pile, 1, CallerConfig(min_alternate_fraction=0.1))
+    assert len(calls) == 1
+    c = calls[0]
+    assert c.offset == 8 and c.ref == "AC" and sorted(c.alts) == ["AT", "GC"]
+    assert tuple(c.gt[0]) == (1, 2)  # het of the two alt haplotypes
+    prims = {
+        p for a in c.alts for p in primitives(c.offset, c.ref, a)
+    }
+    assert prims == {(8, "A", "G"), (9, "C", "T")}
+
+
+def test_repeat_entropy_extension():
+    # homopolymer: window must grow across the A-run until entropy ≥ 1 bit
+    g = _genome("CAAAAAAAAG" + "ACGT" * 4)
+    assert seq_entropy_bits(g[1:3]) == 0.0
+    end = repeat_extend(g, 1, 2, 1.0)
+    assert end >= 10, end  # spans the whole A-run (+ the G)
+    # non-repeat context: CA has exactly 1 bit — no extension
+    g2 = _genome("ACGTACGTACGT")
+    assert repeat_extend(g2, 0, 2, 1.0) == 2
+
+
+def test_pooled_discrete_emits_homref_evidence():
+    gseq = "ACGTACGTACGTACGTACGT"
+    g = _genome(gseq)
+    # sample 1 (tumor): 3/20 low-quality (q10) reads carry alt → best GT
+    # stays 0/0, but fraction 0.15 ≥ 0.05: pooled-discrete emits the
+    # hom-ref record (marginal GLs for the SSC filter), default mode doesn't
+    reads = []
+    for i in range(20):
+        subs = {12: "G"} if i < 3 else {}
+        s = list(gseq)
+        for off, b in subs.items():
+            s[off] = b
+        reads.append(_mkread(f"n{i}", 0, gseq, sample=0, qch="+"))
+        reads.append(_mkread(f"t{i}", 0, "".join(s), sample=1, qch="+"))
+    pile = build_pileup(reads, 0, len(g))
+    pooled = call_window(
+        g, pile, 2,
+        CallerConfig(min_alternate_fraction=0.05, pooled_discrete=True),
+    )
+    assert len(pooled) == 1
+    assert all(tuple(gt) == (0, 0) for gt in pooled[0].gt)  # hom-ref GTs, GL evidence kept
+    plain = call_window(
+        g, pile, 2, CallerConfig(min_alternate_fraction=0.05),
+    )
+    assert plain == []  # freebayes default: only polymorphic loci
+
+
+def test_per_sample_candidate_thresholds():
+    gseq = "ACGTACGTACGTACGTACGT"
+    g = _genome(gseq)
+    # alt fraction pooled = 4/40 = 0.1 < 0.2, but within sample 1 it is
+    # 4/20 = 0.2 ≥ 0.2 → the per-sample -F admits the site
+    reads = []
+    for i in range(20):
+        reads.append(_mkread(f"n{i}", 0, gseq, sample=0))
+        s = list(gseq)
+        if i < 4:
+            s[5] = "T"
+        reads.append(_mkread(f"t{i}", 0, "".join(s), sample=1))
+    pile = build_pileup(reads, 0, len(g))
+    calls = call_window(g, pile, 2, CallerConfig(min_alternate_fraction=0.2))
+    assert len(calls) == 1 and calls[0].offset == 5
+
+
+def test_var_threads_equivalence(var_run, tmp_path):
+    # -t N fan-out must produce byte-identical VCF to serial
+    d, g, out, truth = var_run
+    from speedseq_tpu.var import run_var as _rv
+    sub = str(d / "sub.fa")
+    out8 = _rv(sub, [str(d / "v.bam")], str(tmp_path / "t8.vcf.gz"),
+               config=VarConfig(threads=8))
+    a = gzip.open(out, "rb").read()
+    b = gzip.open(out8, "rb").read()
+    assert a == b
