@@ -36,9 +36,16 @@ _TOKEN = re.compile(
 
 
 def _num(v) -> float:
-    """awk-style numeric coercion: non-numeric → 0."""
+    """awk-style numeric coercion: non-numeric → 0.
+
+    A-typed INFO values arrive as Python lists for multi-allelic sites;
+    vawk sees the serialized "3,1" string and awk-coerces it to the
+    leading number, so lists coerce via their first element here too.
+    """
     if v is None or v is True:
         return 1.0 if v is True else 0.0
+    if isinstance(v, (list, tuple)):
+        return _num(v[0]) if v else 0.0
     if isinstance(v, (int, float)):
         return float(v)
     try:

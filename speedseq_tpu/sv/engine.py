@@ -122,7 +122,7 @@ def _sample_format(gr: Optional[GenotypeResult], call: SVCall, si: int,
 
 
 def extract_side_bams(
-    full_bam: str, splitters_out: str, discordants_out: str,
+    full_bam: str, splitters_out: Optional[str], discordants_out: Optional[str],
     max_split_count: int = 2,
 ) -> None:
     """lumpyexpress front-end behavior: when a sample arrives without
@@ -134,44 +134,63 @@ def extract_side_bams(
       ``max_split_count`` total alignments (samblaster --maxSplitCount 2)
     - discordants: primary, paired, both-mapped, non-proper-pair records
       (samblaster --discordantFile semantics)
+
+    Either output may be None to skip generating that side channel (the
+    user supplied it already — never overwrite a user input).
     """
+    from contextlib import ExitStack
+
     from ..formats.sam import (
         FDUP, FMUNMAP, FPAIRED, FPROPER_PAIR, FSECONDARY,
         FSUPPLEMENTARY, FUNMAP,
     )
 
-    with BAMReader(full_bam) as rd:
-        with BAMWriter(splitters_out, rd.header) as spl, BAMWriter(
-            discordants_out, rd.header
-        ) as disc:
-            for rec in rd:
-                if rec.flag & (FDUP | FSECONDARY) or rec.flag & FUNMAP:
-                    continue
+    with ExitStack() as stack:
+        rd = stack.enter_context(BAMReader(full_bam))
+        spl = (
+            stack.enter_context(BAMWriter(splitters_out, rd.header))
+            if splitters_out else None
+        )
+        disc = (
+            stack.enter_context(BAMWriter(discordants_out, rd.header))
+            if discordants_out else None
+        )
+        for rec in rd:
+            if rec.flag & (FDUP | FSECONDARY) or rec.flag & FUNMAP:
+                continue
+            if spl is not None:
                 sa = rec.get_tag("SA")
                 if sa and str(sa).rstrip(";").count(";") + 2 <= max_split_count:
                     spl.write(rec)
-                if rec.flag & FSUPPLEMENTARY:
-                    continue
-                if (
-                    rec.flag & FPAIRED
-                    and not rec.flag & FMUNMAP
-                    and not rec.flag & FPROPER_PAIR
-                ):
-                    disc.write(rec)
+            if disc is None or rec.flag & FSUPPLEMENTARY:
+                continue
+            if (
+                rec.flag & FPAIRED
+                and not rec.flag & FMUNMAP
+                and not rec.flag & FPROPER_PAIR
+            ):
+                disc.write(rec)
 
 
 def _ensure_side_bams(samples: List[SVSample], verbose: bool) -> None:
+    """Regenerate ONLY the missing side BAM(s) per sample; an existing
+    user-supplied file is never reused as a write target (it would be
+    destructively overwritten with autogen content)."""
     for s in samples:
         if os.path.exists(s.splitters) and os.path.exists(s.discordants):
             continue
         base = s.full[:-4] if s.full.endswith(".bam") else s.full
+        spl_out = disc_out = None
         if not os.path.exists(s.splitters):
-            s.splitters = base + ".splitters.autogen.bam"
+            s.splitters = spl_out = base + ".splitters.autogen.bam"
         if not os.path.exists(s.discordants):
-            s.discordants = base + ".discordants.autogen.bam"
+            s.discordants = disc_out = base + ".discordants.autogen.bam"
         if verbose:
-            print(f"[sv] extracting splitters/discordants from {s.full}")
-        extract_side_bams(s.full, s.splitters, s.discordants)
+            which = "+".join(
+                n for n, o in (("splitters", spl_out), ("discordants", disc_out)) if o
+            )
+            print(f"[sv] extracting {which} from {s.full}")
+        extract_side_bams(s.full, spl_out, disc_out)
 
 
 def run_sv(

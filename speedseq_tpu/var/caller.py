@@ -70,6 +70,16 @@ class CallerConfig:
     min_repeat_entropy: float = 1.0   # bits (bin/speedseq:707 pins 1)
     theta: float = 0.001              # site heterozygosity prior
 
+    def __post_init__(self):
+        # the genotype space (_GT_PAIRS, _gl_terms_multi, invalid-pair
+        # mask) is built for _MAX_ALTS alts; a larger cap would silently
+        # make allele _MAX_ALTS+1 ungenotypeable
+        if self.max_alts > _MAX_ALTS:
+            raise ValueError(
+                f"max_alts={self.max_alts} exceeds the supported genotype "
+                f"space ({_MAX_ALTS} alternate alleles)"
+            )
+
 
 @jax.jit
 def _gl_terms(support: jnp.ndarray, quals: jnp.ndarray) -> jnp.ndarray:

@@ -167,10 +167,14 @@ def run_var(
     genome_cache: Dict[str, np.ndarray] = {}
     cache_lock = threading.Lock()
     tls = threading.local()
+    all_readers: List[List[BAMReader]] = []
+    all_readers_lock = threading.Lock()
 
     def _readers() -> List[BAMReader]:
         if not hasattr(tls, "readers"):
             tls.readers = [BAMReader(p) for p in bam_paths]
+            with all_readers_lock:
+                all_readers.append(tls.readers)
         return tls.readers
 
     def _genome(chrom: str) -> np.ndarray:
@@ -214,11 +218,16 @@ def run_var(
 
     items = list(enumerate(windows))
     results = []
-    if cfg.threads > 1:
-        with ThreadPoolExecutor(max_workers=cfg.threads) as pool:
-            results = list(pool.map(_one_window, items))
-    else:
-        results = [_one_window(it) for it in items]
+    try:
+        if cfg.threads > 1:
+            with ThreadPoolExecutor(max_workers=cfg.threads) as pool:
+                results = list(pool.map(_one_window, items))
+        else:
+            results = [_one_window(it) for it in items]
+    finally:
+        for rds in all_readers:
+            for rd in rds:
+                rd.close()
 
     # deterministic merge: coordinate sort, window order as tiebreak
     # (bin/speedseq:800-806)

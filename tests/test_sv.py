@@ -211,3 +211,23 @@ def test_sv_autogen_side_bams(sv_run, tmp_path):
     hdr, recs = read_vcf(out2)
     types = {r.info.get("SVTYPE") for r in recs}
     assert {"DEL", "DUP", "INV"} <= types, types
+
+
+def test_partial_side_bams_preserve_user_input(sv_run, tmp_path):
+    # ADVICE r2 (medium): when only ONE side BAM is missing, the existing
+    # user-supplied one must not be overwritten with autogen content
+    import shutil
+
+    d, out, truth = sv_run
+    full = str(tmp_path / "p.bam")
+    spl = str(tmp_path / "p.splitters.bam")
+    shutil.copy(str(d / "s.bam"), full)
+    shutil.copy(str(d / "s.splitters.bam"), spl)
+    before = open(spl, "rb").read()
+    samples = [SVSample("S1", full, spl, str(tmp_path / "nope.discordants.bam"))]
+    run_sv(samples, str(tmp_path / "p.vcf.gz"), SVConfig(genotype=False))
+    assert open(spl, "rb").read() == before          # untouched
+    assert samples[0].splitters == spl               # still the user's path
+    assert samples[0].discordants.endswith(".discordants.autogen.bam")
+    assert os.path.exists(samples[0].discordants)
+    assert not os.path.exists(full[:-4] + ".splitters.autogen.bam")

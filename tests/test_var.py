@@ -349,3 +349,48 @@ def test_var_threads_equivalence(var_run, tmp_path):
     a = gzip.open(out, "rb").read()
     b = gzip.open(out8, "rb").read()
     assert a == b
+
+
+def test_driver_filter_passes_multiallelic():
+    # ADVICE r2 (high): A-typed INFO values are Python lists for NUMALT>=2;
+    # awk coerces the serialized "3,1" to 3, so the compiled driver filter
+    # must not zero them out (which silently dropped every multi-allelic
+    # record from run_var output)
+    from speedseq_tpu.var.caller import site_to_vcf
+    from speedseq_tpu.formats.vcf_filter import _num, compile_filter
+
+    assert _num([3, 1]) == 3.0
+    assert _num((0, 5)) == 0.0
+    assert _num([]) == 0.0
+
+    gseq = "ACGTACGTACGTACGTACGT"
+    g = _genome(gseq)
+
+    # stagger read starts so alt placement is balanced left/right of the
+    # read midpoint (RPL and RPR both > 0)
+    reads = []
+    for i in range(12):
+        start = (i % 3) * 4          # 0, 4, 8
+        s = list(gseq[start : start + 12])
+        if i < 4:
+            s[10 - start] = "A"
+        elif i < 8:
+            s[10 - start] = "T"
+        flag = 16 if i % 2 else 0
+        reads.append(_mkread(f"r{i}", start, "".join(s), flag=flag))
+    pile = build_pileup(reads, 0, len(g))
+    calls = call_window(g, pile, 1, CallerConfig(min_alternate_fraction=0.1))
+    assert len(calls) == 1
+    rec = site_to_vcf(calls[0], "x", 0, 1)
+    assert rec.info["NUMALT"] == 2
+    assert isinstance(rec.info["RPR"], list)
+    pred = compile_filter("$6>=1.0 && I$RPR>0 && I$RPL>0")
+    assert pred(rec), (rec.info["RPR"], rec.info["RPL"], rec.qual)
+
+
+def test_caller_config_max_alts_validated():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CallerConfig(max_alts=4)
+    CallerConfig(max_alts=3)  # boundary OK
