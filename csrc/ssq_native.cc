@@ -422,4 +422,121 @@ int64_t ssq_bam_decode(const uint8_t* src, int64_t n, int32_t* tid,
   return i;
 }
 
+// ---------------------------------------------------------------------------
+// Columnar record-assembly helpers for the align epilogue (the host side of
+// the TPU pipeline).  The reference's analog is bwa's mem_aln2sam +
+// samblaster's stream rewrite — per-record C hot loops; here they are batch
+// calls over struct-of-arrays so Python never touches per-read strings.
+// ---------------------------------------------------------------------------
+
+// Render BAM-packed cigars (len<<4|op) to ASCII per record.
+// out_off must have n+1 slots; returns total bytes or -1 on overflow.
+int64_t ssq_cigar_strings(int64_t n, const uint32_t* cigar_blob,
+                          const int64_t* cigar_off, uint8_t* dst,
+                          int64_t dst_cap, int64_t* out_off) {
+  static const char kOps[] = "MIDNSHP=XB";
+  uint8_t* p = dst;
+  uint8_t* pend = dst + dst_cap;
+  out_off[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t c = cigar_off[i]; c < cigar_off[i + 1]; ++c) {
+      uint32_t v = cigar_blob[c];
+      uint32_t len = v >> 4;
+      char buf[12];
+      int k = 0;
+      do { buf[k++] = static_cast<char>('0' + len % 10); len /= 10; } while (len);
+      if (p + k + 1 > pend) return -1;
+      while (k) *p++ = static_cast<uint8_t>(buf[--k]);
+      *p++ = static_cast<uint8_t>(kOps[v & 0xf]);
+    }
+    out_off[i + 1] = p - dst;
+  }
+  return p - dst;
+}
+
+namespace {
+// Smallest-int aux encoding, matching formats/bam.py _encode_aux (htslib
+// sam_parse1 semantics).
+inline uint8_t* put_int_tag(uint8_t* p, char t0, char t1, int32_t v) {
+  *p++ = static_cast<uint8_t>(t0);
+  *p++ = static_cast<uint8_t>(t1);
+  if (v < 0) {
+    if (v >= -128) { *p++ = 'c'; *p++ = static_cast<uint8_t>(static_cast<int8_t>(v)); }
+    else if (v >= -32768) {
+      *p++ = 's'; int16_t x = static_cast<int16_t>(v);
+      std::memcpy(p, &x, 2); p += 2;
+    } else { *p++ = 'i'; std::memcpy(p, &v, 4); p += 4; }
+  } else {
+    if (v <= 255) { *p++ = 'C'; *p++ = static_cast<uint8_t>(v); }
+    else if (v <= 65535) {
+      *p++ = 'S'; uint16_t x = static_cast<uint16_t>(v);
+      std::memcpy(p, &x, 2); p += 2;
+    } else { *p++ = 'I'; uint32_t x = static_cast<uint32_t>(v);
+      std::memcpy(p, &x, 4); p += 4; }
+  }
+  return p;
+}
+constexpr int32_t kAbsent = INT32_MIN;  // sentinel: tag not present
+}  // namespace
+
+// Build per-record aux blobs in the align pipeline's tag order:
+//   NM:i  AS:i  XS:i  RG:Z  MC:Z  MQ:i  <extra raw bytes (SA/XA, rare)>
+// nm/as_/xs/mq use INT32_MIN as the "absent" sentinel.  rg_idx selects a
+// read-group string from rg_blob/rg_off.  mc_off zero-length span = no MC.
+// extra_blob carries pre-encoded aux bytes appended verbatim.
+// Returns total bytes written or -1 on overflow; out_off gets n+1 offsets.
+int64_t ssq_build_aux(int64_t n, const int32_t* nm, const int32_t* as_,
+                      const int32_t* xs, const int32_t* mq,
+                      const int32_t* rg_idx, const uint8_t* rg_blob,
+                      const int64_t* rg_off, const uint8_t* mc_blob,
+                      const int64_t* mc_off, const uint8_t* extra_blob,
+                      const int64_t* extra_off, uint8_t* dst, int64_t dst_cap,
+                      int64_t* out_off) {
+  uint8_t* p = dst;
+  uint8_t* pend = dst + dst_cap;
+  out_off[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t rgl = rg_off[rg_idx[i] + 1] - rg_off[rg_idx[i]];
+    int64_t mcl = mc_off[i + 1] - mc_off[i];
+    int64_t exl = extra_off[i + 1] - extra_off[i];
+    // worst case: 3 int tags ×7 + RG hdr 4 + MC hdr 4 + MQ 7 + strings
+    if (p + 3 * 7 + 4 + rgl + 1 + 4 + mcl + 1 + 7 + exl > pend) return -1;
+    if (nm[i] != kAbsent) p = put_int_tag(p, 'N', 'M', nm[i]);
+    if (as_[i] != kAbsent) p = put_int_tag(p, 'A', 'S', as_[i]);
+    if (xs[i] != kAbsent) p = put_int_tag(p, 'X', 'S', xs[i]);
+    if (rgl > 0) {
+      *p++ = 'R'; *p++ = 'G'; *p++ = 'Z';
+      std::memcpy(p, rg_blob + rg_off[rg_idx[i]], rgl); p += rgl;
+      *p++ = 0;
+    }
+    if (mcl > 0) {
+      *p++ = 'M'; *p++ = 'C'; *p++ = 'Z';
+      std::memcpy(p, mc_blob + mc_off[i], mcl); p += mcl;
+      *p++ = 0;
+    }
+    if (mq[i] != kAbsent) p = put_int_tag(p, 'M', 'Q', mq[i]);
+    if (exl > 0) { std::memcpy(p, extra_blob + extra_off[i], exl); p += exl; }
+    out_off[i + 1] = p - dst;
+  }
+  return p - dst;
+}
+
+// Reorder concatenated records: dst = blob[starts[order[k]] ..
+// +sizes[order[k]]] for k in 0..n.  The external sorter's spill/write path
+// (one call replaces n Python slice+write round trips).
+int64_t ssq_gather_records(const uint8_t* blob, const int64_t* starts,
+                           const int64_t* sizes, const int64_t* order,
+                           int64_t n, uint8_t* dst, int64_t dst_cap) {
+  uint8_t* p = dst;
+  uint8_t* pend = dst + dst_cap;
+  for (int64_t k = 0; k < n; ++k) {
+    int64_t i = order[k];
+    int64_t sz = sizes[i];
+    if (p + sz > pend) return -1;
+    std::memcpy(p, blob + starts[i], sz);
+    p += sz;
+  }
+  return p - dst;
+}
+
 }  // extern "C"

@@ -320,14 +320,6 @@ def align_stream(
                 mk(fetched[3][0]), mk(fetched[3][1]), cfg,
                 fallback=distro,
             )
-        sels = [
-            finalize_alignments(
-                pe, seqs_p[w], lens_p[w], pe.sub, pe.sub_n,
-                host_ref=idx.pac,
-            )
-            for w, pe in enumerate(ends)
-        ]
-        if est_distro:
             distro_arr = jnp.asarray(
                 [distro.mean, distro.std, distro.low, distro.high],
                 jnp.float32,
@@ -338,53 +330,21 @@ def align_stream(
                     f"std={distro.std:.1f} bounds=[{distro.low},{distro.high}]"
                 )
 
-        rows_b: List[List[_PairRow]] = [[], []]
-        for which, (bb, sel) in enumerate(zip(batches, sels)):
-            rows = rows_b[which]
-            # vectorized per-batch decodes (chr/qual tables + batch tids +
-            # per-length reverse complement)
-            codes = np.minimum(bb.seq[:n], 4)
-            seq_chars = _BASE_CHARS[codes]
-            qual_chars = (np.minimum(bb.qual[:n], 93) + 33).astype(np.uint8)
-            Lmax = codes.shape[1]
-            ridx = bb.length[:n, None] - 1 - np.arange(Lmax)[None, :]
-            safe = np.clip(ridx, 0, Lmax - 1)
-            rvals = np.take_along_axis(codes, safe, axis=1)
-            rc_chars = _BASE_CHARS[np.where(rvals < 4, 3 - rvals, 4)]
-            rq_chars = np.take_along_axis(qual_chars, safe, axis=1)
-            prim_pos = np.asarray(
-                [sel[i][0].pos if sel[i][0].aligned else 0 for i in range(n)],
-                dtype=np.int64,
-            )
-            tids = idx.tid_for_pos(prim_pos)
-            for i in range(n):
-                prim, supp = sel[i]
-                L = int(bb.length[i])
-                comment = bb.comments[i] if i < len(bb.comments) else ""
-                rg = comment[3:] if comment.startswith("RG:") else ""
-                rows.append(
-                    _PairRow(
-                        name=bb.names[i],
-                        seq=seq_chars[i, :L].tobytes().decode(),
-                        qual=qual_chars[i, :L].tobytes().decode(),
-                        seq_rc=rc_chars[i, :L].tobytes().decode(),
-                        qual_r=rq_chars[i, :L].tobytes().decode(),
-                        aln=prim,
-                        supp=supp,
-                        tid=int(tids[i]) if prim.aligned else -1,
-                        rg=rg,
-                    )
-                )
-        # ---- streaming epilogue: records out, nothing retained ---------
+        # ---- streaming columnar epilogue: the whole batch becomes
+        # struct-of-arrays record columns (align.emit) and flows straight
+        # into the external sorter — no per-read Python objects (the
+        # reference keeps this in C inside bwa/samblaster; we keep it in
+        # numpy columns + native batch calls)
         batch_distro = distro or InsertDistro(
             mean=300.0, std=100.0, low=50, high=700)
-        main, splitters, discordants = assemble_records(
-            rows_b[0], rows_b[1] if is_paired_batch else None, idx,
-            batch_distro, cfg, marker=marker, lib_of_rg=lib_of_rg,
+        from .emit import build_batch_records
+
+        cols = build_batch_records(
+            ends, batches, idx, batch_distro, cfg, marker, lib_of_rg,
         )
-        sorters["bam"].add_many(main)
-        sorters["splitters"].add_many(splitters)
-        sorters["discordants"].add_many(discordants)
+        sorters["bam"].add_columns(cols["bam"])
+        sorters["splitters"].add_columns(cols["splitters"])
+        sorters["discordants"].add_columns(cols["discordants"])
         n_reads += n * len(batches)
         if cfg.checkpoint and (bi + 1) % cfg.checkpoint_every == 0:
             _save_ckpt(bi)

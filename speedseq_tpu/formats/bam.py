@@ -218,6 +218,11 @@ class BAMWriter:
     def write_raw(self, rec: bytes) -> None:
         self._w.write(struct.pack("<i", len(rec)) + rec)
 
+    def write_blob(self, blob) -> None:
+        """Write pre-encoded block_size-prefixed record bytes verbatim
+        (the columnar emission path: records already carry prefixes)."""
+        self._w.write(bytes(blob))
+
     def write_batch(self, records: List[SAMRecord]) -> None:
         """Encode+write many records in one native call (byte-identical to
         looping write(); csrc ssq_bam_encode fast path)."""

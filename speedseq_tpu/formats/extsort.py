@@ -58,6 +58,41 @@ def _sort_order(records: List[SAMRecord]) -> np.ndarray:
     return np.lexsort((rev, pos, tid))
 
 
+# packed-key unmapped sentinel: must leave (pos+1)<<1|rev headroom in int64
+# (tid<<33 with tid=1<<30 would hit the sign bit); ordering is identical to
+# the tuple form above (all real tids < sentinel, unmapped group last)
+_TID_UNMAPPED_PACKED = 1 << 29
+
+
+def packed_keys(tid: np.ndarray, pos: np.ndarray, flag: np.ndarray) -> np.ndarray:
+    """samtools coordinate keys as one int64 column:
+    tid<<33 | (pos+1)<<1 | is_rev (bam_sort.c:1612); unmapped last."""
+    t = np.where(tid >= 0, tid.astype(np.int64),
+                 np.int64(_TID_UNMAPPED_PACKED))
+    rev = ((flag.astype(np.int64) & FREVERSE) != 0).astype(np.int64)
+    return (t << 33) | ((pos.astype(np.int64) + 1) << 1) | rev
+
+
+def _gather_blob(blob: np.ndarray, starts: np.ndarray, sizes: np.ndarray,
+                 order: np.ndarray) -> np.ndarray:
+    """Reorder concatenated records (native one-call fast path)."""
+    try:
+        from .. import native
+        if native.available():
+            return native.gather_records(blob, starts, sizes, order)
+    except Exception:
+        pass
+    lens = sizes[order]
+    total = int(lens.sum())
+    if total == 0:
+        return blob[:0]
+    out_starts = np.zeros(len(order), np.int64)
+    np.cumsum(lens[:-1], out=out_starts[1:])
+    pos = (np.arange(total, dtype=np.int64)
+           - np.repeat(out_starts, lens) + np.repeat(starts[order], lens))
+    return blob[pos]
+
+
 class _ChunkStream:
     """Iterates (key_tuple, raw_record_bytes) from one spilled chunk."""
 
@@ -111,6 +146,10 @@ class ExternalBAMSorter:
         self.chunk_level = chunk_level
         self._tmpdir = tmpdir or (path + ".sorttmp")
         self._buf: List[SAMRecord] = []
+        # columnar buffer: list of (keys i64, sizes i64, blob u8) batches,
+        # in intake order (stable argsort preserves tie order across them)
+        self._cb: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self._cn = 0
         self._chunks: List[str] = []
         self._closed = False
         self.n_records = 0
@@ -119,31 +158,86 @@ class ExternalBAMSorter:
     def add(self, rec: SAMRecord) -> None:
         self._buf.append(rec)
         self.n_records += 1
-        if len(self._buf) >= self.max_records:
+        if self._buffered() >= self.max_records:
             self.spill()
 
     def add_many(self, recs: List[SAMRecord]) -> None:
         self._buf.extend(recs)
         self.n_records += len(recs)
-        if len(self._buf) >= self.max_records:
+        if self._buffered() >= self.max_records:
             self.spill()
+
+    def add_columns(self, cols) -> None:
+        """Columnar intake (align.emit.RecordColumns): records arrive as
+        pre-encoded block_size-prefixed bytes + packed sort keys — the
+        per-record SAMRecord object layer never exists on this path."""
+        if cols.n == 0:
+            return
+        self._flush_recs()
+        blob = np.frombuffer(cols.encode(), np.uint8)
+        keys = cols.sort_keys()
+        sizes = cols.record_sizes().astype(np.int64)
+        self._cb.append((keys, sizes, blob))
+        self._cn += cols.n
+        self.n_records += cols.n
+        if self._buffered() >= self.max_records:
+            self.spill()
+
+    def _buffered(self) -> int:
+        return len(self._buf) + self._cn
+
+    def _flush_recs(self) -> None:
+        """Convert the SAMRecord buffer into one columnar batch so intake
+        order (tie stability) is preserved when both APIs are used."""
+        if not self._buf:
+            return
+        from .bam_cols import encode_batch
+
+        blob = np.frombuffer(encode_batch(self._buf), np.uint8)
+        tid, pos, rev = _key_arrays(self._buf)
+        t = np.where(tid >= _TID_UNMAPPED, np.int64(_TID_UNMAPPED_PACKED), tid)
+        keys = (t << 33) | (pos << 1) | rev
+        # per-record sizes from the block_size prefixes
+        sizes = np.empty(len(self._buf), np.int64)
+        off = 0
+        bv = blob.view()
+        for i in range(len(self._buf)):
+            sz = int(bv[off]) | (int(bv[off + 1]) << 8) \
+                | (int(bv[off + 2]) << 16) | (int(bv[off + 3]) << 24)
+            sizes[i] = sz + 4
+            off += sz + 4
+        self._cb.append((keys, sizes, blob))
+        self._cn += len(self._buf)
+        self._buf.clear()
+
+    def _sorted_blob(self) -> np.ndarray:
+        """Concatenate all buffered batches, stable-sort by packed key,
+        and gather the record bytes in one native call."""
+        self._flush_recs()
+        if not self._cb:
+            return np.zeros(0, np.uint8)
+        keys = np.concatenate([k for k, _, _ in self._cb])
+        sizes = np.concatenate([s for _, s, _ in self._cb])
+        blob = np.concatenate([b for _, _, b in self._cb])
+        self._cb.clear()
+        self._cn = 0
+        starts = np.zeros(len(sizes), np.int64)
+        np.cumsum(sizes[:-1], out=starts[1:])
+        order = np.argsort(keys, kind="stable")
+        return _gather_blob(blob, starts, sizes, order)
 
     # -------------------------------------------------------------- spill
     def spill(self) -> None:
         """Sort + flush the current buffer to a temp chunk (also the
         checkpoint flush point: after spill, sorter state is just the
         chunk path list)."""
-        if not self._buf:
+        if not self._buffered():
             return
-        order = _sort_order(self._buf)
-        recs = [self._buf[i] for i in order]
-        self._buf.clear()
+        sorted_blob = self._sorted_blob()
         os.makedirs(self._tmpdir, exist_ok=True)
         cpath = os.path.join(self._tmpdir, f"chunk{len(self._chunks):05d}.bgz")
         w = BGZFWriter(cpath, level=self.chunk_level)
-        from .bam_cols import encode_batch
-
-        w.write(encode_batch(recs))
+        w.write(sorted_blob.tobytes())
         w.close()
         self._chunks.append(cpath)
 
@@ -163,10 +257,8 @@ class ExternalBAMSorter:
         self._closed = True
         if not self._chunks:
             # in-memory fast path
-            order = _sort_order(self._buf)
             with BAMWriter(self.path, self.header, level=self.level) as w:
-                w.write_batch([self._buf[i] for i in order])
-            self._buf.clear()
+                w.write_blob(self._sorted_blob().tobytes())
             return
         self.spill()
         streams = [_ChunkStream(p) for p in self._chunks]

@@ -111,6 +111,15 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ssq_bam_decode.argtypes = [
             _p8, _i64, _pi32, _pi32, _p8, _pu16, _pi32, _pi32, _pi32,
             _p8, _pi64, _pu32, _pi64, _p8, _p8, _pi64, _p8, _pi64]
+        lib.ssq_cigar_strings.restype = _i64
+        lib.ssq_cigar_strings.argtypes = [_i64, _pu32, _pi64, _p8, _i64, _pi64]
+        lib.ssq_build_aux.restype = _i64
+        lib.ssq_build_aux.argtypes = [
+            _i64, _pi32, _pi32, _pi32, _pi32, _pi32, _p8, _pi64,
+            _p8, _pi64, _p8, _pi64, _p8, _i64, _pi64]
+        lib.ssq_gather_records.restype = _i64
+        lib.ssq_gather_records.argtypes = [
+            _p8, _pi64, _pi64, _pi64, _i64, _p8, _i64]
         _lib = lib
         return _lib
 
@@ -223,6 +232,71 @@ def bam_encode(c: "BamColumns") -> bytes:
     if got < 0:
         raise ValueError("native BAM encode overflow")
     return dst[:got].tobytes()
+
+
+_AUX_ABSENT = np.int32(-2**31)  # sentinel shared with ssq_build_aux
+
+
+def cigar_strings(cigar_blob: np.ndarray, cigar_off: np.ndarray):
+    """Batch cigar → ASCII (per-record); returns (blob u8, off i64 n+1)."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    n = len(cigar_off) - 1
+    cap = 11 * max(int(cigar_off[-1]), 1) + 1
+    dst = np.empty(cap, np.uint8)
+    out_off = np.empty(n + 1, np.int64)
+    got = lib.ssq_cigar_strings(
+        n, _np_ptr(cigar_blob, ctypes.c_uint32), _np_ptr(cigar_off, _i64),
+        _np_ptr(dst, ctypes.c_uint8), cap, _np_ptr(out_off, _i64))
+    if got < 0:
+        raise ValueError("cigar string overflow")
+    return dst[:got], out_off
+
+
+def build_aux(nm, as_, xs, mq, rg_idx, rg_blob, rg_off, mc_blob, mc_off,
+              extra_blob, extra_off):
+    """Batch aux-blob assembly (NM/AS/XS/RG/MC/MQ + extra raw bytes).
+
+    Int columns use _AUX_ABSENT as the "tag not present" sentinel."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    n = len(nm)
+    cap = int(
+        n * (3 * 7 + 4 + 4 + 7 + 2)
+        + int(rg_off[-1] - rg_off[0]) * n // max(len(rg_off) - 1, 1)
+        + int(mc_off[-1]) + int(extra_off[-1]) + 64
+    )
+    # rg strings are short; bound generously instead of exactly
+    cap += 64 * n
+    dst = np.empty(cap, np.uint8)
+    out_off = np.empty(n + 1, np.int64)
+    got = lib.ssq_build_aux(
+        n, _np_ptr(nm, ctypes.c_int32), _np_ptr(as_, ctypes.c_int32),
+        _np_ptr(xs, ctypes.c_int32), _np_ptr(mq, ctypes.c_int32),
+        _np_ptr(rg_idx, ctypes.c_int32), _np_ptr(rg_blob, ctypes.c_uint8),
+        _np_ptr(rg_off, _i64), _np_ptr(mc_blob, ctypes.c_uint8),
+        _np_ptr(mc_off, _i64), _np_ptr(extra_blob, ctypes.c_uint8),
+        _np_ptr(extra_off, _i64), _np_ptr(dst, ctypes.c_uint8), cap,
+        _np_ptr(out_off, _i64))
+    if got < 0:
+        raise ValueError("aux blob overflow")
+    return dst[:got], out_off
+
+
+def gather_records(blob: np.ndarray, starts: np.ndarray, sizes: np.ndarray,
+                   order: np.ndarray) -> np.ndarray:
+    """Reorder concatenated BAM records in one native call."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    total = int(sizes.sum())
+    dst = np.empty(max(total, 1), np.uint8)
+    got = lib.ssq_gather_records(
+        _np_ptr(blob, ctypes.c_uint8), _np_ptr(starts, _i64),
+        _np_ptr(sizes, _i64), _np_ptr(order, _i64), len(order),
+        _np_ptr(dst, ctypes.c_uint8), len(dst))
+    if got < 0:
+        raise ValueError("gather overflow")
+    return dst[:got]
 
 
 def bam_decode(blob: bytes) -> "BamColumns":

@@ -295,3 +295,24 @@ def test_checkpoint_resume_mid_run(small_run, tmp_path):
     for k in ("bam", "splitters.bam", "discordants.bam"):
         with open(ref_out[k], "rb") as a, open(outs[k], "rb") as b:
             assert a.read() == b.read(), k
+
+
+def test_packed_sort_keys_unmapped_last():
+    """Packed int64 coordinate keys must order identically to the tuple
+    key (tid, pos+1, rev) with unmapped (tid=-1) records last — a tid
+    sentinel of 1<<30 shifted by 33 would overflow int64 into the sign
+    bit and sort unmapped records first."""
+    from speedseq_tpu.formats.extsort import packed_keys
+
+    tid = np.array([0, 1, -1, 0, 1, -1], np.int32)
+    pos = np.array([5, 2, 7, 5, 2, 1], np.int32)
+    flag = np.array([0, 16, 0, 16, 0, 0], np.int64)
+    keys = packed_keys(tid, pos, flag)
+    order = np.argsort(keys, kind="stable")
+    tuples = [
+        ((t if t >= 0 else 1 << 40), p + 1, 1 if f & 16 else 0)
+        for t, p, f in zip(tid, pos, flag)
+    ]
+    want = sorted(range(len(tuples)), key=lambda i: (tuples[i], i))
+    assert list(order) == want
+    assert keys.max() > 0  # no sign-bit overflow
