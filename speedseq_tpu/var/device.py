@@ -1,0 +1,227 @@
+"""Device-resident site genotyping: the FreeBayes numeric core as one
+jitted XLA program.
+
+The reference fans freebayes processes over genome windows
+(/root/reference/bin/speedseq:704-719); each process walks its pileup and
+computes per-sample genotype likelihoods, best genotypes, and site QUAL in
+C++ doubles.  Here the entire numeric core — per-read GL terms, per-sample
+segment reductions, genotype masking/normalization, GQ, posterior QUAL,
+and per-alt placement/strand balance — is a single fused device program
+over (sites, reads) batch arrays:
+
+  obs     (S, R) int8   read observation per site: -1 none, 0 ref, k alt k
+  quals   (S, R) f32    phred observation quality
+  sample  (R,)   int32  VCF sample column per read
+  rpos    (S, R) int32  read-coordinate position at the site anchor (-1)
+  strand  (R,)   int8   1 = reverse
+  n_alts  (S,)   int32  live ALT count per site
+
+Per-sample reductions are one-hot matmuls (MXU work, no host loops);
+shapes are padded to fixed buckets so XLA compiles once per
+(S-bucket, R-bucket, n_samples).  The host keeps only candidate/locus
+construction (var.caller) and VCF text emission.
+
+Multi-chip: sites are embarrassingly parallel (the reference's window
+fan-out is too), so `genotype_sites_sharded` shard_maps the S axis over
+the mesh data axis with reads replicated per shard.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .caller_space import GT_PAIRS, MAX_ALTS, N_GT
+
+_PAIR_J = np.array([j for j, _ in GT_PAIRS], np.int32)
+_PAIR_K = np.array([k for _, k in GT_PAIRS], np.int32)
+_PAIR_MAX = np.maximum(_PAIR_J, _PAIR_K)
+_PAIR_NONREF = ((_PAIR_J > 0).astype(np.int32)
+                + (_PAIR_K > 0).astype(np.int32))
+
+
+class SiteGenotypes(NamedTuple):
+    """Device outputs (all numpy after fetch); M = n_samples, A = MAX_ALTS."""
+
+    gl: np.ndarray       # (S, M, G) f32 max-normalized log10 GL
+    gt_idx: np.ndarray   # (S, M) int32 best genotype index into GT_PAIRS
+    gq: np.ndarray       # (S, M) int32
+    qual: np.ndarray     # (S,) f32 phred posterior P(polymorphic)
+    dp: np.ndarray       # (S, M) int32
+    ro: np.ndarray       # (S, M) int32
+    ao: np.ndarray       # (S, M, A) int32
+    qr: np.ndarray       # (S, M) int32
+    qa: np.ndarray       # (S, M, A) int32
+    rpl: np.ndarray      # (S, A) int32
+    rpr: np.ndarray      # (S, A) int32
+    saf: np.ndarray      # (S, A) int32
+    sar: np.ndarray      # (S, A) int32
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples",))
+def _genotype_sites_jit(
+    obs: jnp.ndarray,        # (S, R) int8
+    quals: jnp.ndarray,      # (S, R) f32
+    sample: jnp.ndarray,     # (R,) int32
+    rpos: jnp.ndarray,       # (S, R) int32
+    strand: jnp.ndarray,     # (R,) int8
+    rlen_half: jnp.ndarray,  # (R,) f32
+    n_alts: jnp.ndarray,     # (S,) int32
+    theta: jnp.ndarray,      # () f32
+    n_samples: int,
+):
+    S, R = obs.shape
+    A = MAX_ALTS
+    G = N_GT
+    e = jnp.power(10.0, -quals / 10.0)                    # (S, R)
+    alleles = jnp.arange(A + 1, dtype=obs.dtype)
+    match = obs[..., None] == alleles                      # (S, R, A+1)
+    p = jnp.where(match, (1.0 - e)[..., None], (e / 3.0)[..., None])
+    cover = obs >= 0
+    eps = jnp.float32(1e-30)
+    pj = p[..., jnp.asarray(_PAIR_J)]                      # (S, R, G)
+    pk = p[..., jnp.asarray(_PAIR_K)]
+    terms = jnp.where(cover[..., None],
+                      jnp.log10(0.5 * pj + 0.5 * pk + eps), 0.0)
+
+    onehot = (sample[:, None] ==
+              jnp.arange(n_samples)[None, :]).astype(jnp.float32)  # (R, M)
+    # per-sample GL: one matmul over the read axis (MXU)
+    gl = jnp.einsum("srg,rm->smg", terms, onehot,
+                    preferred_element_type=jnp.float32)    # (S, M, G)
+
+    covf = cover.astype(jnp.float32)
+    reff = (obs == 0).astype(jnp.float32)
+    dp = jnp.einsum("sr,rm->sm", covf, onehot).astype(jnp.int32)
+    ro = jnp.einsum("sr,rm->sm", reff, onehot).astype(jnp.int32)
+    qr = jnp.einsum("sr,rm->sm", reff * quals, onehot).astype(jnp.int32)
+    altf = (obs[..., None] ==
+            (1 + jnp.arange(A, dtype=obs.dtype))).astype(jnp.float32)
+    ao = jnp.einsum("sra,rm->sma", altf, onehot).astype(jnp.int32)
+    qa = jnp.einsum("sra,rm->sma", altf * quals[..., None],
+                    onehot).astype(jnp.int32)
+
+    # per-alt placement / strand balance (pooled over samples)
+    placed = altf * (rpos >= 0)[..., None].astype(jnp.float32)
+    left = (rpos.astype(jnp.float32) < rlen_half[None, :])
+    rpl = jnp.sum(placed * left[..., None].astype(jnp.float32),
+                  axis=1).astype(jnp.int32)                 # (S, A)
+    rpr = jnp.sum(placed, axis=1).astype(jnp.int32) - rpl
+    fwd = (strand == 0).astype(jnp.float32)[None, :, None]
+    saf = jnp.sum(altf * fwd, axis=1).astype(jnp.int32)
+    sar = jnp.sum(altf, axis=1).astype(jnp.int32) - saf
+
+    # genotype-space masking for each site's live ALT count
+    invalid = jnp.asarray(_PAIR_MAX)[None, :] > n_alts[:, None]   # (S, G)
+    neg = jnp.float32(-1e9)
+    gl = jnp.where(invalid[:, None, :], neg, gl)
+    gl_norm = gl - jnp.max(gl, axis=2, keepdims=True)
+
+    gt_idx = jnp.argmax(gl_norm, axis=2).astype(jnp.int32)
+    top2, _ = jax.lax.top_k(jnp.where(gl_norm < -1e8, -jnp.inf, gl_norm), 2)
+    gq = jnp.minimum(
+        99, jnp.round(10.0 * (top2[..., 0]
+                              - jnp.maximum(top2[..., 1], -1e9)))
+    ).astype(jnp.int32)
+
+    # posterior QUAL under the site-heterozygosity prior
+    lp = jnp.asarray(_PAIR_NONREF, jnp.float32) * jnp.log10(theta)  # (G,)
+    w = jnp.where(gl_norm < -1e8, -jnp.inf, gl_norm + lp[None, None, :])
+    wmax = jnp.max(w, axis=2, keepdims=True)
+    logz = wmax[..., 0] + jnp.log10(
+        jnp.sum(jnp.power(10.0, w - wmax), axis=2))
+    log_p0 = (gl_norm[:, :, 0] + lp[0]) - logz             # (S, M)
+    qual = jnp.minimum(1e5, -10.0 * jnp.sum(log_p0, axis=1))
+
+    return gl_norm, gt_idx, gq, qual, dp, ro, ao, qr, qa, rpl, rpr, saf, sar
+
+
+def _pad_axis(x: np.ndarray, axis: int, target: int, fill=0) -> np.ndarray:
+    n = x.shape[axis]
+    if n == target:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - n)
+    return np.pad(x, pad, constant_values=fill)
+
+
+def _bucket(n: int, mult: int) -> int:
+    return max(mult, ((n + mult - 1) // mult) * mult)
+
+
+def genotype_sites(
+    obs: np.ndarray,
+    quals: np.ndarray,
+    sample: np.ndarray,
+    rpos: np.ndarray,
+    strand: np.ndarray,
+    rlen_half: np.ndarray,
+    n_alts: np.ndarray,
+    theta: float,
+    n_samples: int,
+    mesh=None,
+) -> SiteGenotypes:
+    """Host wrapper: bucket-pad, run the fused device program, slice back.
+
+    ``mesh`` (parallel.mesh) shards the site axis over the data axis —
+    the TPU counterpart of the reference's per-window process fan-out."""
+    S, R = obs.shape
+    Sp = _bucket(S, 64)
+    Rp = _bucket(R, 256)
+    if mesh is not None:
+        Sp = _bucket(Sp, 64 * mesh.devices.size)
+    obs_p = _pad_axis(_pad_axis(obs, 0, Sp, -1), 1, Rp, -1).astype(np.int8)
+    q_p = _pad_axis(_pad_axis(quals, 0, Sp, 1.0), 1, Rp, 1.0
+                    ).astype(np.float32)
+    rpos_p = _pad_axis(_pad_axis(rpos, 0, Sp, -1), 1, Rp, -1
+                       ).astype(np.int32)
+    sam_p = _pad_axis(np.asarray(sample, np.int32), 0, Rp, -1)
+    str_p = _pad_axis(np.asarray(strand, np.int8), 0, Rp, 0)
+    rl_p = _pad_axis(np.asarray(rlen_half, np.float32), 0, Rp, 1.0)
+    na_p = _pad_axis(np.asarray(n_alts, np.int32), 0, Sp, MAX_ALTS)
+
+    args = (obs_p, q_p, sam_p, rpos_p, str_p, rl_p, na_p,
+            jnp.float32(theta))
+    if mesh is None:
+        out = _genotype_sites_jit(*args, n_samples=n_samples)
+    else:
+        out = _genotype_sites_sharded(mesh, args, n_samples)
+    (gl, gt_idx, gq, qual, dp, ro, ao, qr, qa, rpl, rpr, saf, sar) = (
+        np.asarray(x) for x in out)
+    return SiteGenotypes(
+        gl=gl[:S], gt_idx=gt_idx[:S], gq=gq[:S], qual=qual[:S],
+        dp=dp[:S], ro=ro[:S], ao=ao[:S], qr=qr[:S], qa=qa[:S],
+        rpl=rpl[:S], rpr=rpr[:S], saf=saf[:S], sar=sar[:S],
+    )
+
+
+def _genotype_sites_sharded(mesh, args, n_samples: int):
+    """shard_map over the site axis: sites to shards, reads replicated
+    (the genomic-window fan-out of bin/speedseq:719 mapped onto the mesh;
+    no cross-site communication exists in the model, so the only
+    collective is the implicit output all-gather)."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map  # JAX ≥ 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map  # type: ignore
+
+    obs_p, q_p, sam_p, rpos_p, str_p, rl_p, na_p, theta = args
+    s_axis = P("data")
+    rep = P()
+    kw = {}
+    import inspect
+    if "check_rep" in inspect.signature(shard_map).parameters:
+        kw["check_rep"] = False
+    fn = shard_map(
+        functools.partial(_genotype_sites_jit, n_samples=n_samples),
+        mesh=mesh,
+        in_specs=(s_axis, s_axis, rep, s_axis, rep, rep, s_axis, rep),
+        out_specs=(s_axis,) * 13,
+        **kw,
+    )
+    return jax.jit(fn)(obs_p, q_p, sam_p, rpos_p, str_p, rl_p, na_p, theta)

@@ -33,7 +33,7 @@ from ..formats.fasta import FastaFile
 from ..formats.vcf import VCFHeader, VCFWriter
 from ..formats.vcf_filter import compile_filter
 from .caller import CallerConfig, call_window, site_to_vcf
-from .pileup import build_pileup
+from .pileup import build_pileup, build_pileup_columns
 
 
 @dataclass
@@ -88,6 +88,84 @@ def _fetch_window(
                 break
             if rec.end_pos() > start:
                 out.append(rec)
+    return out
+
+
+def _fetch_window_raw(
+    rd: BAMReader, idx, tid: int, start: int, end: int
+) -> bytes:
+    """Region fetch as raw record bytes (block_size-prefixed, the native
+    bam_decode input) — no SAMRecord objects; the end_pos overlap filter
+    happens columnarly in build_pileup_columns."""
+    import struct as _struct
+
+    parts = []
+    chunks = bai_mod.query_chunks(idx, tid, start, end)
+    for cb, ce in chunks:
+        rd.seek_virtual(cb)
+        while rd._r.tell_virtual < ce:
+            got = rd.read_raw()
+            if got is None:
+                break
+            raw = got[0]
+            rtid, rpos = _struct.unpack_from("<ii", raw, 0)
+            if rtid != tid or rpos >= end:
+                break
+            parts.append(_struct.pack("<I", len(raw)))
+            parts.append(raw)
+    return b"".join(parts)
+
+
+def _concat_cols(parts):
+    """Concatenate decoded BamColumns batches (offsets rebased)."""
+    if len(parts) == 1:
+        return parts[0]
+    from .. import native
+
+    kw = {}
+    for f in ("tid", "pos", "ref_end", "mapq", "flag", "mtid", "mpos",
+              "tlen"):
+        kw[f] = np.concatenate([getattr(c, f) for c in parts])
+    for bf, of in (
+        ("qname_blob", "qname_off"), ("cigar_blob", "cigar_off"),
+        ("seq_blob", "seq_off"), ("aux_blob", "aux_off"),
+    ):
+        offs, base = [], 0
+        for c in parts:
+            o = getattr(c, of)
+            offs.append(o[:-1] + base)
+            base += int(o[-1])
+        offs.append(np.asarray([base], np.int64))
+        kw[of] = np.concatenate(offs)
+        kw[bf] = np.concatenate(
+            [getattr(c, bf)[: int(getattr(c, of)[-1])] for c in parts])
+    kw["qual_blob"] = np.concatenate(
+        [c.qual_blob[: int(c.seq_off[-1])] for c in parts])
+    return native.BamColumns(**kw)
+
+
+def _columnar_sample_ids(
+    cols, bi: int, rg_map: Dict[Tuple[int, str], int],
+    default_map: Dict[int, int],
+) -> np.ndarray:
+    """Sample index per decoded record.  When every RG of this BAM maps to
+    one sample (the overwhelmingly common case) this is a constant fill;
+    otherwise the aux blobs are walked for RG:Z tags (rare)."""
+    bam_samples = {v for (b, _), v in rg_map.items() if b == bi}
+    if not bam_samples:
+        return np.full(cols.n, default_map.get(bi, 0), np.int32)
+    if len(bam_samples) == 1:
+        return np.full(cols.n, next(iter(bam_samples)), np.int32)
+    from ..formats.bam import _decode_aux
+
+    out = np.full(cols.n, default_map.get(bi, 0), np.int32)
+    ab = cols.aux_blob.tobytes()
+    for i in range(cols.n):
+        tags = _decode_aux(ab[cols.aux_off[i]:cols.aux_off[i + 1]])
+        for t, _, v in tags:
+            if t == "RG":
+                out[i] = rg_map.get((bi, v), out[i])
+                break
     return out
 
 
@@ -183,25 +261,55 @@ def run_var(
                 genome_cache[chrom] = fa.fetch_encoded(chrom)
             return genome_cache[chrom]
 
+    # columnar fetch path: raw bytes → native decode → vectorized pileup
+    # (falls back to the SAMRecord path when the native codec is absent)
+    from .. import native as _native
+    use_columnar = _native.available()
+    mesh = None
+    import jax as _jax
+    if _jax.device_count() > 1:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh()
+
     def _one_window(item: Tuple[int, BedInterval]):
         wi, w = item
         if w.chrom not in ref_names:
             return wi, []
         tid = ref_names.index(w.chrom)
         genome = _genome(w.chrom)
-        recs = []
-        for bi, rd in enumerate(_readers()):
-            for rec in _fetch_window(rd, indexes[bi], tid, w.start, w.end):
-                rg = rec.get_tag("RG") or ""
-                si = rg_map.get((bi, rg), default_map.get(bi, 0))
-                recs.append((rec, si))
-        if not recs:
-            return wi, []
-        pile = build_pileup(
-            recs, w.start, w.end,
-            min_mapq=cfg.caller.min_mapq, min_baseq=cfg.caller.min_baseq,
-        )
-        calls = call_window(genome, pile, len(samples), cfg.caller)
+        if use_columnar:
+            parts, sids = [], []
+            for bi, rd in enumerate(_readers()):
+                blob = _fetch_window_raw(rd, indexes[bi], tid, w.start, w.end)
+                if not blob:
+                    continue
+                c = _native.bam_decode(blob)
+                parts.append(c)
+                sids.append(_columnar_sample_ids(c, bi, rg_map, default_map))
+            if not parts:
+                return wi, []
+            pile = build_pileup_columns(
+                _concat_cols(parts), np.concatenate(sids), w.start, w.end,
+                min_mapq=cfg.caller.min_mapq,
+                min_baseq=cfg.caller.min_baseq,
+            )
+        else:
+            recs = []
+            for bi, rd in enumerate(_readers()):
+                for rec in _fetch_window(rd, indexes[bi], tid, w.start,
+                                         w.end):
+                    rg = rec.get_tag("RG") or ""
+                    si = rg_map.get((bi, rg), default_map.get(bi, 0))
+                    recs.append((rec, si))
+            if not recs:
+                return wi, []
+            pile = build_pileup(
+                recs, w.start, w.end,
+                min_mapq=cfg.caller.min_mapq,
+                min_baseq=cfg.caller.min_baseq,
+            )
+        calls = call_window(genome, pile, len(samples), cfg.caller,
+                            mesh=mesh)
         out = []
         for c in calls:
             rec = site_to_vcf(c, w.chrom, w.start, len(samples))

@@ -64,6 +64,18 @@ class WindowPileup:
     flat_qual: np.ndarray         # int8
     flat_rpos: np.ndarray         # int32 offset in read or -1
     events: List[ReadEvent] = field(default_factory=list)
+    # columnar per-read metadata (filled by both constructors; the caller
+    # and the haplotype scorer consume these instead of SAMRecord objects)
+    sample_of_read: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.int32))
+    strand: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.int8))        # (R,) 1 = rev
+    read_pos: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.int32))       # abs ref pos
+    read_len: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.int32))       # seq length
+    read_seq: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 0), np.uint8))  # (R, Lmax) codes
 
     def col(self, off: int):
         """Gather window offset `off` across all reads.
@@ -196,6 +208,15 @@ def build_pileup(
     rstart = np.array(span_lo, np.int32) if R else np.zeros(0, np.int32)
     rend = (rstart + lens).astype(np.int32) if R else np.zeros(0, np.int32)
     base_idx = np.concatenate([[0], np.cumsum(lens)[:-1]]) if R else np.zeros(0, np.int64)
+    # columnar per-read metadata
+    slen = np.array(
+        [len(r.seq) if r.seq not in ("*", "") else 0 for r, _ in kept],
+        np.int32) if R else np.zeros(0, np.int32)
+    Lmax = int(slen.max()) if R else 0
+    read_seq = np.full((R, Lmax), 4, np.uint8)
+    for i, (r, _) in enumerate(kept):
+        if slen[i]:
+            read_seq[i, : slen[i]] = encode_bases(r.seq.encode())
     return WindowPileup(
         start=start,
         end=end,
@@ -211,4 +232,173 @@ def build_pileup(
         flat_qual=np.concatenate(rquals) if R else np.zeros(0, np.int8),
         flat_rpos=np.concatenate(rposs) if R else np.zeros(0, np.int32),
         events=events,
+        sample_of_read=np.array([si for _, si in kept], np.int32),
+        strand=np.array([1 if r.is_reverse() else 0 for r, _ in kept],
+                        np.int8),
+        read_pos=np.array([r.pos for r, _ in kept], np.int32)
+        if R else np.zeros(0, np.int32),
+        read_len=slen,
+        read_seq=read_seq,
+    )
+
+
+# ------------------------------------------------------- columnar builder
+
+_CIG_QCONSUME = np.array([1, 1, 0, 0, 1, 0, 0, 1, 1, 0], bool)  # M I S = X
+_CIG_RCONSUME = np.array([1, 0, 1, 1, 0, 0, 0, 1, 1, 0], bool)  # M D N = X
+_CIG_ALIGNED = np.array([1, 0, 0, 0, 0, 0, 0, 1, 1, 0], bool)   # M = X
+
+
+def build_pileup_columns(
+    cols,                          # native.BamColumns (decoded records)
+    sample_of_read: np.ndarray,    # (n,) int32 sample index per record
+    start: int,
+    end: int,
+    min_mapq: int = 1,
+    min_baseq: int = 3,
+) -> WindowPileup:
+    """Columnar pileup: the vectorized twin of build_pileup.
+
+    Operates on native-decoded record columns (csrc ssq_bam_decode) —
+    cigar expansion, window projection, and count accumulation are all
+    whole-batch numpy ops; no per-read Python.  Produces a WindowPileup
+    identical in content to the record path (same filters, same span
+    layout), minus the SAMRecord list (reads=[])."""
+    L = end - start
+    n = cols.n
+    flags = cols.flag.astype(np.int64)
+    ncig = np.diff(cols.cigar_off)
+    slen = np.diff(cols.seq_off).astype(np.int32)
+
+    # ---- cigar op table (all records at once) --------------------------
+    rid_op = np.repeat(np.arange(n, dtype=np.int64), ncig)
+    ops = (cols.cigar_blob & 0xF).astype(np.int64)
+    lens = (cols.cigar_blob >> 4).astype(np.int64)
+    opc = np.minimum(ops, 9)
+    qc = np.where(_CIG_QCONSUME[opc], lens, 0)
+    rc = np.where(_CIG_RCONSUME[opc], lens, 0)
+    cq = np.cumsum(qc) - qc          # exclusive
+    cr = np.cumsum(rc) - rc
+    first = cols.cigar_off[:-1][rid_op]
+    cq0 = np.concatenate([[0], np.cumsum(qc)])[first]
+    cr0 = np.concatenate([[0], np.cumsum(rc)])[first]
+    q_start = cq - cq0                                   # read offset per op
+    r_start = cols.pos[rid_op].astype(np.int64) + (cr - cr0)  # abs ref pos
+    ref_len = np.zeros(n, np.int64)
+    np.add.at(ref_len, rid_op, rc)
+    end_pos = cols.pos.astype(np.int64) + ref_len
+
+    # ---- read filters (freebayes defaults, as build_pileup) ------------
+    keep = (
+        ((flags & (SKIP_FLAGS | FSUPPLEMENTARY)) == 0)
+        & (cols.mapq >= min_mapq) & (ncig > 0) & (slen > 0)
+        & (cols.pos < end) & (end_pos > start)
+    )
+    kidx = np.nonzero(keep)[0]
+    R = len(kidx)
+    base_counts = np.zeros((L, 5), np.int32)
+    qual_sums = np.zeros((L, 5), np.int32)
+    strand_counts = np.zeros((L, 5, 2), np.int32)
+    if R == 0:
+        return WindowPileup(
+            start=start, end=end, base_counts=base_counts,
+            qual_sums=qual_sums, strand_counts=strand_counts,
+            depth=base_counts.sum(axis=1), reads=[],
+            rstart=np.zeros(0, np.int32), rend=np.zeros(0, np.int32),
+            base_idx=np.zeros(0, np.int64),
+            flat_proj=np.zeros(0, np.int8), flat_qual=np.zeros(0, np.int8),
+            flat_rpos=np.zeros(0, np.int32), events=[],
+        )
+    new_id = np.full(n, -1, np.int64)
+    new_id[kidx] = np.arange(R)
+
+    # encoded seq codes for the whole blob (ASCII → 0..4)
+    seq_codes = encode_bases(cols.seq_blob)
+    strand = ((flags[kidx] & 16) != 0).astype(np.int8)
+
+    # ---- span-compact flat layout --------------------------------------
+    rstart = np.maximum(cols.pos[kidx].astype(np.int64), start) - start
+    rend = np.minimum(end_pos[kidx], end) - start
+    spans = (rend - rstart).astype(np.int64)
+    base_idx = np.zeros(R, np.int64)
+    np.cumsum(spans[:-1], out=base_idx[1:])
+    total = int(spans.sum())
+    flat_proj = np.full(total, -1, np.int8)
+    flat_qual = np.zeros(total, np.int8)
+    flat_rpos = np.full(total, -1, np.int32)
+
+    # ---- expand aligned (M/=/X) ops into per-base entries ---------------
+    op_keep = _CIG_ALIGNED[opc] & (new_id[rid_op] >= 0)
+    oi = np.nonzero(op_keep)[0]
+    if len(oi):
+        a = np.maximum(r_start[oi], start)
+        b = np.minimum(r_start[oi] + lens[oi], end)
+        cnt = np.maximum(b - a, 0)
+        keep_op = cnt > 0
+        oi, a, cnt = oi[keep_op], a[keep_op], cnt[keep_op]
+        tot = int(cnt.sum())
+        if tot:
+            starts_out = np.zeros(len(oi), np.int64)
+            np.cumsum(cnt[:-1], out=starts_out[1:])
+            eidx = np.arange(tot, dtype=np.int64) - np.repeat(starts_out, cnt)
+            erid = np.repeat(new_id[rid_op[oi]], cnt)          # pileup row
+            ecol = np.repeat(a, cnt) + eidx - start            # window offset
+            erpos = np.repeat(q_start[oi] + (a - r_start[oi]), cnt) + eidx
+            eseq = np.repeat(cols.seq_off[:-1][rid_op[oi]], cnt) + erpos
+            ebase = np.minimum(seq_codes[eseq], 4).astype(np.int8)
+            equal = np.minimum(cols.qual_blob[eseq], 60).astype(np.int8)
+            # 0xff qual blob means "*" (no quals): freebayes treats as q30
+            equal = np.where(cols.qual_blob[eseq] == 0xFF, np.int8(30), equal)
+            good = equal >= min_baseq
+            # scatter into the span layout (deletion gaps stay -1); qual
+            # is kept for ALL aligned bases (the record path leaves the
+            # raw qual in place when a low-qual base is masked to -1)
+            di = base_idx[erid] + (ecol - rstart[erid])
+            flat_rpos[di] = erpos.astype(np.int32)
+            flat_qual[di] = equal
+            flat_proj[di[good]] = ebase[good]
+            # counts (only ≥min_baseq bases, matching build_pileup)
+            gcol = ecol[good].astype(np.int64)
+            gbase = ebase[good].astype(np.int64)
+            np.add.at(base_counts, (gcol, gbase), 1)
+            np.add.at(qual_sums, (gcol, gbase), equal[good])
+            np.add.at(strand_counts,
+                      (gcol, gbase, strand[erid[good]].astype(np.int64)), 1)
+
+    # ---- indel events (I/D ops anchored at the base before) -------------
+    events: List[ReadEvent] = []
+    ev_keep = ((ops == 1) | (ops == 2)) & (new_id[rid_op] >= 0)
+    for j in np.nonzero(ev_keep)[0]:
+        pos_ev = int(r_start[j]) - 1
+        if not (start <= pos_ev < end):
+            continue
+        ri = int(new_id[rid_op[j]])
+        if ops[j] == 1:
+            s0 = int(cols.seq_off[rid_op[j]] + q_start[j])
+            seq = cols.seq_blob[s0 : s0 + int(lens[j])].tobytes().decode()
+            events.append(ReadEvent(pos_ev, True, int(lens[j]), seq, ri))
+        else:
+            events.append(ReadEvent(pos_ev, False, int(lens[j]), "", ri))
+
+    # ---- per-read metadata ----------------------------------------------
+    slen_k = slen[kidx]
+    Lmax = int(slen_k.max())
+    read_seq = np.full((R, Lmax), 4, np.uint8)
+    src = (cols.seq_off[:-1][kidx, None] + np.arange(Lmax)[None, :])
+    valid = np.arange(Lmax)[None, :] < slen_k[:, None]
+    read_seq[valid] = np.minimum(
+        seq_codes[np.where(valid, src, 0)], 4)[valid]
+
+    return WindowPileup(
+        start=start, end=end, base_counts=base_counts,
+        qual_sums=qual_sums, strand_counts=strand_counts,
+        depth=base_counts.sum(axis=1), reads=[],
+        rstart=rstart.astype(np.int32), rend=rend.astype(np.int32),
+        base_idx=base_idx, flat_proj=flat_proj, flat_qual=flat_qual,
+        flat_rpos=flat_rpos, events=events,
+        sample_of_read=np.asarray(sample_of_read, np.int32)[kidx],
+        strand=strand,
+        read_pos=cols.pos[kidx].astype(np.int32),
+        read_len=slen_k,
+        read_seq=read_seq,
     )
