@@ -521,6 +521,78 @@ int64_t ssq_build_aux(int64_t n, const int32_t* nm, const int32_t* as_,
   return p - dst;
 }
 
+// Find a 2-char Z-type aux tag in each record's aux blob span.
+// Walks the tag list properly (no substring false positives).  Outputs
+// per-record (offset into aux_blob, length) of the tag's string value,
+// or (-1, 0) when absent.
+int64_t ssq_find_ztag(const uint8_t* aux_blob, const int64_t* aux_off,
+                      int64_t n, uint8_t t0, uint8_t t1,
+                      int64_t* out_off, int64_t* out_len) {
+  for (int64_t i = 0; i < n; ++i) {
+    out_off[i] = -1;
+    out_len[i] = 0;
+    int64_t p = aux_off[i];
+    int64_t end = aux_off[i + 1];
+    while (p + 3 <= end) {
+      uint8_t a = aux_blob[p], b = aux_blob[p + 1], t = aux_blob[p + 2];
+      p += 3;
+      int64_t vlen;
+      switch (t) {
+        case 'A': case 'c': case 'C': vlen = 1; break;
+        case 's': case 'S': vlen = 2; break;
+        case 'i': case 'I': case 'f': vlen = 4; break;
+        case 'Z': case 'H': {
+          int64_t q = p;
+          while (q < end && aux_blob[q] != 0) ++q;
+          vlen = q - p + 1;
+          break;
+        }
+        case 'B': {
+          if (p + 5 > end) { p = end; continue; }
+          uint8_t et = aux_blob[p];
+          uint32_t cnt;
+          std::memcpy(&cnt, aux_blob + p + 1, 4);
+          int es = (et == 'c' || et == 'C') ? 1
+                   : (et == 's' || et == 'S') ? 2 : 4;
+          vlen = 5 + static_cast<int64_t>(cnt) * es;
+          break;
+        }
+        default: p = end; continue;  // malformed: stop this record
+      }
+      if (a == t0 && b == t1 && (t == 'Z' || t == 'H')) {
+        out_off[i] = p;
+        out_len[i] = vlen - 1;  // exclude NUL
+        break;
+      }
+      p += vlen;
+    }
+  }
+  return n;
+}
+
+// Parse cigar strings (e.g. from MC/SA tags) to reference-consumed length.
+// spans give (offset, length) into blob per record; -1 offset → 0.
+int64_t ssq_cigar_str_reflen(const uint8_t* blob, const int64_t* off,
+                             const int64_t* len, int64_t n, int32_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    out[i] = 0;
+    if (off[i] < 0) continue;
+    int64_t p = off[i], end = off[i] + len[i];
+    int64_t rl = 0, v = 0;
+    while (p < end) {
+      uint8_t c = blob[p++];
+      if (c >= '0' && c <= '9') {
+        v = v * 10 + (c - '0');
+      } else {
+        if (c == 'M' || c == 'D' || c == 'N' || c == '=' || c == 'X') rl += v;
+        v = 0;
+      }
+    }
+    out[i] = static_cast<int32_t>(rl);
+  }
+  return n;
+}
+
 // Reorder concatenated records: dst = blob[starts[order[k]] ..
 // +sizes[order[k]]] for k in 0..n.  The external sorter's spill/write path
 // (one call replaces n Python slice+write round trips).

@@ -201,6 +201,8 @@ def cmd_sv(args) -> int:
             exclude_bed=args.x or kcfg.exclude_bed,
             reference=args.R,
             threads=_threads(args, kcfg),
+            trim_threshold=args.r,       # lumpy -r (bin/speedseq:1243)
+            cnv_bin_size=args.w,         # cnvnator -w (bin/speedseq:1248)
             verbose=args.v,
         ),
     )

@@ -181,3 +181,17 @@ def query_chunks(idx: BAIIndex, tid: int, beg: int, end: int) -> List[Tuple[int,
         else:
             merged.append((cb, ce))
     return merged
+
+
+def fetch_raw(rd, idx: BAIIndex, tid: int, beg: int, end: int) -> bytes:
+    """Region fetch as block_size-prefixed raw record bytes — the native
+    bam_decode input (hts_itr_query equivalent).  ``rd`` is a
+    formats.bam.BAMReader.  Whole chunk byte-ranges are read in bulk
+    (BGZFReader.read_to) — no per-record loop; chunks are bin-granular,
+    so the caller must columnarly re-filter tid / pos-overlap after
+    decode (build_pileup_columns and the sv columnar paths do)."""
+    parts = []
+    for cb, ce in query_chunks(idx, tid, max(0, beg), end):
+        rd.seek_virtual(cb)
+        parts.append(rd._r.read_to(ce))
+    return b"".join(parts)

@@ -120,6 +120,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ssq_gather_records.restype = _i64
         lib.ssq_gather_records.argtypes = [
             _p8, _pi64, _pi64, _pi64, _i64, _p8, _i64]
+        lib.ssq_find_ztag.restype = _i64
+        lib.ssq_find_ztag.argtypes = [
+            _p8, _pi64, _i64, ctypes.c_uint8, ctypes.c_uint8, _pi64, _pi64]
+        lib.ssq_cigar_str_reflen.restype = _i64
+        lib.ssq_cigar_str_reflen.argtypes = [_p8, _pi64, _pi64, _i64, _pi32]
         _lib = lib
         return _lib
 
@@ -297,6 +302,36 @@ def gather_records(blob: np.ndarray, starts: np.ndarray, sizes: np.ndarray,
     if got < 0:
         raise ValueError("gather overflow")
     return dst[:got]
+
+
+def find_ztag(aux_blob: np.ndarray, aux_off: np.ndarray, tag: str):
+    """Per-record (offset, length) span of a Z-type aux tag's value in
+    aux_blob; offset -1 when absent.  Proper tag-list walk (no substring
+    false positives)."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    n = len(aux_off) - 1
+    out_off = np.empty(n, np.int64)
+    out_len = np.empty(n, np.int64)
+    lib.ssq_find_ztag(
+        _np_ptr(aux_blob, ctypes.c_uint8), _np_ptr(aux_off, _i64), n,
+        ord(tag[0]), ord(tag[1]), _np_ptr(out_off, _i64),
+        _np_ptr(out_len, _i64))
+    return out_off, out_len
+
+
+def cigar_str_reflen(blob: np.ndarray, off: np.ndarray,
+                     length: np.ndarray) -> np.ndarray:
+    """Reference-consumed length of ASCII cigar strings at (off, len)
+    spans (MC/SA tag cigars); 0 where off < 0."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    n = len(off)
+    out = np.empty(n, np.int32)
+    lib.ssq_cigar_str_reflen(
+        _np_ptr(blob, ctypes.c_uint8), _np_ptr(off, _i64),
+        _np_ptr(length, _i64), n, _np_ptr(out, ctypes.c_int32))
+    return out
 
 
 def bam_decode(blob: bytes) -> "BamColumns":

@@ -40,8 +40,13 @@ class SVCall:
 
 def _combine(
     items: List[Tuple[int, np.ndarray]],
+    trim: float = 0.0,
 ) -> Tuple[int, Tuple[int, int], Tuple[int, int], np.ndarray]:
-    """Multiply probability curves (log-sum) over their union support."""
+    """Multiply probability curves (log-sum) over their union support.
+
+    ``trim`` is lumpy -r (bin/speedseq:1243, pinned default 0): interval
+    edges whose probability falls below ``trim`` are dropped before the
+    intervals/curves are emitted."""
     lo = min(s for s, p in items)
     hi = max(s + len(p) for s, p in items)
     acc = np.zeros(hi - lo)
@@ -53,6 +58,12 @@ def _combine(
     acc -= acc.max()
     prob = np.exp(acc)
     prob /= prob.sum()
+    if trim > 0.0:
+        live = np.nonzero(prob >= trim)[0]
+        if len(live):
+            trimmed = np.zeros_like(prob)
+            trimmed[live[0] : live[-1] + 1] = prob[live[0] : live[-1] + 1]
+            prob = trimmed / trimmed.sum()
     pos = lo + int(np.argmax(prob))
     # 100% and 95% credible intervals relative to pos
     nz = np.nonzero(prob > 1e-9)[0]
@@ -69,6 +80,7 @@ def _combine(
 def cluster_breakpoints(
     evidence: List[Breakpoint],
     min_weight: int = 4,      # lumpy -m (bin/speedseq:1242)
+    trim: float = 0.0,        # lumpy -r (bin/speedseq:1243)
 ) -> List[SVCall]:
     groups: Dict[Tuple, List[Breakpoint]] = {}
     for bp in evidence:
@@ -94,10 +106,10 @@ def cluster_breakpoints(
             if max(per_sample.values()) < min_weight:
                 return
             pos1, ci1, ci195, pr1 = _combine(
-                [(b.start1, b.prob1) for b in cluster]
+                [(b.start1, b.prob1) for b in cluster], trim=trim
             )
             pos2, ci2, ci295, pr2 = _combine(
-                [(b.start2, b.prob2) for b in cluster]
+                [(b.start2, b.prob2) for b in cluster], trim=trim
             )
             if svtype != BND and pos2 < pos1:
                 pos1, pos2 = pos2, pos1

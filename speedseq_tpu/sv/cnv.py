@@ -45,26 +45,56 @@ class DepthProfile:
     def from_bam(
         cls, bam_path: str, fasta_path: str, bin_size: int = 100
     ) -> "DepthProfile":
-        """-tree/-his equivalents: bin read placements, GC-correct."""
+        """-tree/-his equivalents: bin read placements, GC-correct.
+
+        Columnar when the native codec is available: the whole BAM
+        decodes in one native call and midpoint binning is one
+        scatter-add per chromosome; per-record fallback otherwise."""
+        from .. import native
+
         fa = FastaFile(fasta_path)
-        with BAMReader(bam_path) as rd:
-            refs = rd.header.refs
+        if native.available():
+            from .columnar import end_positions, read_bam_columns
+
+            refs, cols = read_bam_columns(bam_path)
+            names = [n for n, _ in refs]
             counts = {
                 n: np.zeros((l + bin_size - 1) // bin_size, np.float64)
                 for n, l in refs
             }
-            names = [n for n, _ in refs]
-            for rec in rd:
-                if rec.flag & (FUNMAP | FSECONDARY | FSUPPLEMENTARY | FDUP):
-                    continue
-                if rec.tid < 0:
-                    continue
-                # -unique placement: count the read at its midpoint bin
-                mid = (rec.pos + rec.end_pos()) // 2
-                b = mid // bin_size
-                arr = counts[names[rec.tid]]
-                if 0 <= b < len(arr):
-                    arr[b] += 1
+            flags = cols.flag.astype(np.int64)
+            keep = (
+                ((flags & (FUNMAP | FSECONDARY | FSUPPLEMENTARY | FDUP))
+                 == 0) & (cols.tid >= 0)
+            )
+            tid = cols.tid[keep].astype(np.int64)
+            mid = (cols.pos[keep].astype(np.int64)
+                   + end_positions(cols)[keep]) // 2
+            b = mid // bin_size
+            for t in np.unique(tid):
+                arr = counts[names[int(t)]]
+                bt = b[tid == t]
+                bt = bt[(bt >= 0) & (bt < len(arr))]
+                np.add.at(arr, bt, 1)
+        else:
+            with BAMReader(bam_path) as rd:
+                refs = rd.header.refs
+                counts = {
+                    n: np.zeros((l + bin_size - 1) // bin_size, np.float64)
+                    for n, l in refs
+                }
+                names = [n for n, _ in refs]
+                for rec in rd:
+                    if rec.flag & (FUNMAP | FSECONDARY | FSUPPLEMENTARY | FDUP):
+                        continue
+                    if rec.tid < 0:
+                        continue
+                    # -unique placement: count the read at its midpoint bin
+                    mid = (rec.pos + rec.end_pos()) // 2
+                    b = mid // bin_size
+                    arr = counts[names[rec.tid]]
+                    if 0 <= b < len(arr):
+                        arr[b] += 1
         # GC per bin + stratified correction (cnvnator gc correction)
         gc_of: Dict[str, np.ndarray] = {}
         for n, l in refs:

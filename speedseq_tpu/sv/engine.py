@@ -45,6 +45,8 @@ class SVConfig:
     exclude_bed: Optional[str] = None
     reference: Optional[str] = None  # needed for -d
     threads: int = 1               # -t: per-sample genotyping fan-out
+    trim_threshold: float = 0.0    # lumpy -r (:1243; pinned default 0)
+    cnv_bin_size: int = 100        # cnvnator window -w (:1248)
     verbose: bool = False
 
 
@@ -144,6 +146,51 @@ def extract_side_bams(
         FDUP, FMUNMAP, FPAIRED, FPROPER_PAIR, FSECONDARY,
         FSUPPLEMENTARY, FUNMAP,
     )
+    from .. import native
+
+    if native.available():
+        from .columnar import read_bam_columns, record_sizes, ztag_strings
+        from ..formats.sam import SAMHeader
+
+        refs, cols, blob = read_bam_columns(full_bam, with_blob=True)
+        flags = cols.flag.astype(np.int64)
+        base = (flags & (FDUP | FSECONDARY | FUNMAP)) == 0
+        sizes = record_sizes(cols)
+        starts = np.zeros(cols.n, np.int64)
+        np.cumsum(sizes[:-1], out=starts[1:])
+        with BAMReader(full_bam) as rd0:
+            header = rd0.header
+        if splitters_out:
+            sa_off, sa_len = ztag_strings(cols, "SA")
+            # pieces = segments in SA + this record; samblaster
+            # --maxSplitCount caps the total piece count
+            semis = np.zeros(cols.n, np.int64)
+            has = sa_off >= 0
+            if has.any():
+                semi_mask = cols.aux_blob == ord(";")
+                csum = np.concatenate(
+                    [[0], np.cumsum(semi_mask.astype(np.int64))])
+                s0 = np.where(has, sa_off, 0)
+                s1 = s0 + np.where(has, sa_len, 0)
+                semis = csum[s1] - csum[s0]
+                last_semi = has & (sa_len > 0) & (
+                    cols.aux_blob[np.maximum(s1 - 1, 0)] == ord(";"))
+                semis = semis - last_semi.astype(np.int64)
+            spl_mask = base & has & (semis + 2 <= max_split_count)
+            with BAMWriter(splitters_out, header) as w:
+                w.write_blob(native.gather_records(
+                    blob, starts, sizes, np.nonzero(spl_mask)[0]).tobytes())
+        if discordants_out:
+            disc_mask = (
+                base & ((flags & FSUPPLEMENTARY) == 0)
+                & ((flags & FPAIRED) != 0)
+                & ((flags & FMUNMAP) == 0)
+                & ((flags & FPROPER_PAIR) == 0)
+            )
+            with BAMWriter(discordants_out, header) as w:
+                w.write_blob(native.gather_records(
+                    blob, starts, sizes, np.nonzero(disc_mask)[0]).tobytes())
+        return
 
     with ExitStack() as stack:
         rd = stack.enter_context(BAMReader(full_bam))
@@ -219,7 +266,8 @@ def run_sv(
         exclude=exclude,
         ref_names=ref_names,
     )
-    calls = cluster_breakpoints(evidence, min_weight=cfg.min_weight)
+    calls = cluster_breakpoints(
+        evidence, min_weight=cfg.min_weight, trim=cfg.trim_threshold)
     if cfg.verbose:
         print(f"[sv] {len(evidence)} evidence items → {len(calls)} calls")
 
@@ -232,7 +280,9 @@ def run_sv(
     depth: List[Optional[DepthProfile]] = [None] * len(samples)
     if cfg.annotate_depth and cfg.reference:
         depth = [
-            DepthProfile.from_bam(s.full, cfg.reference) for s in samples
+            DepthProfile.from_bam(
+                s.full, cfg.reference, bin_size=cfg.cnv_bin_size)
+            for s in samples
         ]
 
     fmt_keys = ["GT", "SU", "PE", "SR"]

@@ -111,7 +111,16 @@ class SVGenotyper:
 
         min_mapq defaults to 1 so MAPQ-0 multi-mappers piled on repeats
         don't count as evidence (svtyper excludes ambiguous placements).
+
+        Columnar when the native codec is available: one raw fetch per
+        breakpoint, then flag/clip/SA/pair classification as numpy column
+        ops over all fetched records (VERDICT r2 item 5); per-record
+        fallback otherwise.
         """
+        from .. import native
+
+        if native.available():
+            return self._genotype_columnar(call, min_mapq)
         stats = self.stats
         w = stats.max_normal
         slop = 6
@@ -158,6 +167,109 @@ class SVGenotyper:
                 elif span_alt is False:
                     ref_n += 1
                     rp += 1
+        gr = genotype_from_counts(ref_n, alt_n)
+        gr.rs, gr.as_, gr.rp, gr.ap = rs, as_, rp, ap
+        return gr
+
+    def _genotype_columnar(self, call: SVCall, min_mapq: int) -> GenotypeResult:
+        """Vectorized twin of the per-record path (identical counts)."""
+        from .. import native
+        from ..formats.bai import fetch_raw
+        from .columnar import clip_flags, end_positions, mate_ref_lengths, ztag_strings
+
+        stats = self.stats
+        w = stats.max_normal
+        slop = 6
+        wiggle = 4 * int(stats.std)
+        ref_n = alt_n = rs = as_ = rp = ap = 0
+        for side, (tid, pos) in enumerate(
+            [(call.tid1, call.pos1), (call.tid2, call.pos2)]
+        ):
+            blob = fetch_raw(self.rd, self.idx, tid, pos - w, pos + w)
+            if not blob:
+                continue
+            cols = native.bam_decode(blob)
+            flags = cols.flag.astype(np.int64)
+            base = (
+                ((flags & (FUNMAP | FSECONDARY | FDUP | FSUPPLEMENTARY))
+                 == 0)
+                & (cols.mapq >= min_mapq)
+            )
+            # region re-filter (the bulk fetch is bin-granular)
+            endp = end_positions(cols)
+            pcol = cols.pos.astype(np.int64)
+            base &= (cols.tid == tid) & (endp > pos - w) & (pcol < pos + w)
+            cl, cr = clip_flags(cols)
+            sa_off, _sa_len = ztag_strings(cols, "SA")
+            has_sa = sa_off >= 0
+            at_end = np.abs(endp - pos) <= slop
+            at_start = np.abs(pcol - pos) <= slop
+            split_alt = base & has_sa & ((at_end & cr) | (at_start & cl))
+            crossing = (
+                base & ~split_alt
+                & (pcol + slop <= pos) & (pos <= endp - slop) & ~cl & ~cr
+            )
+            alt_n += int(split_alt.sum())
+            as_ += int(split_alt.sum())
+            ref_n += int(crossing.sum())
+            rs += int(crossing.sum())
+            if side == 1:
+                continue
+            # ---- pair evidence (from breakpoint 1 only) ----------------
+            mtid = cols.mtid.astype(np.int64)
+            mpos = cols.mpos.astype(np.int64)
+            cand = (
+                base & ~split_alt & ~crossing
+                & ((flags & FMUNMAP) == 0) & (mtid >= 0)
+                & ((cols.tid.astype(np.int64) < mtid)
+                   | ((cols.tid.astype(np.int64) == mtid) & (pcol <= mpos)))
+            )
+            rev1 = (flags & FREVERSE) != 0
+            rev2 = (flags & 0x20) != 0
+            mend = mpos + mate_ref_lengths(cols, stats.read_len)
+            span = mend - pcol
+            proper = (flags & FPROPER_PAIR) != 0
+            crosses1 = (pcol < call.pos1) & (call.pos1 < mend)
+            if call.svtype == DEL:
+                covers = (
+                    (endp - 1 <= call.pos1 + wiggle)
+                    & (mpos >= call.pos2 - wiggle)
+                    & (pcol < call.pos1) & (mend > call.pos2)
+                )
+                alt_pair = (
+                    cand & ~rev1 & rev2
+                    & (cols.tid.astype(np.int64) == call.tid1)
+                    & covers & (span > stats.max_normal)
+                )
+                ref_pair = (
+                    cand & ~alt_pair & ~rev1 & rev2
+                    & (cols.tid.astype(np.int64) == call.tid1)
+                    & crosses1 & (span <= stats.max_normal) & proper
+                )
+            elif call.svtype == DUP:
+                near1 = np.abs(pcol - call.pos1) < stats.max_normal
+                near2 = np.abs(mend - call.pos2) < stats.max_normal
+                alt_pair = cand & rev1 & ~rev2 & near1 & near2
+                ref_pair = (
+                    cand & ~alt_pair & crosses1 & ~rev1 & rev2 & proper
+                )
+            elif call.svtype == INV:
+                alt_pair = cand & (rev1 == rev2)
+                ref_pair = cand & ~alt_pair & crosses1 & proper
+            else:  # BND
+                near1 = np.abs(pcol - call.pos1) < stats.max_normal
+                near2 = np.abs(mpos - call.pos2) < stats.max_normal
+                orient = (rev1 == (call.strand1 == 1)) & (
+                    rev2 == (call.strand2 == 1))
+                alt_pair = (
+                    cand & (cols.tid.astype(np.int64) == call.tid1)
+                    & (mtid == call.tid2) & near1 & near2 & orient
+                )
+                ref_pair = cand & ~alt_pair & crosses1 & proper
+            alt_n += int(alt_pair.sum())
+            ap += int(alt_pair.sum())
+            ref_n += int(ref_pair.sum())
+            rp += int(ref_pair.sum())
         gr = genotype_from_counts(ref_n, alt_n)
         gr.rs, gr.as_, gr.rp, gr.ap = rs, as_, rp, ap
         return gr

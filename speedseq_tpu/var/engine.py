@@ -95,25 +95,9 @@ def _fetch_window_raw(
     rd: BAMReader, idx, tid: int, start: int, end: int
 ) -> bytes:
     """Region fetch as raw record bytes (block_size-prefixed, the native
-    bam_decode input) — no SAMRecord objects; the end_pos overlap filter
-    happens columnarly in build_pileup_columns."""
-    import struct as _struct
-
-    parts = []
-    chunks = bai_mod.query_chunks(idx, tid, start, end)
-    for cb, ce in chunks:
-        rd.seek_virtual(cb)
-        while rd._r.tell_virtual < ce:
-            got = rd.read_raw()
-            if got is None:
-                break
-            raw = got[0]
-            rtid, rpos = _struct.unpack_from("<ii", raw, 0)
-            if rtid != tid or rpos >= end:
-                break
-            parts.append(_struct.pack("<I", len(raw)))
-            parts.append(raw)
-    return b"".join(parts)
+    bam_decode input) — bulk chunk reads, no SAMRecord objects; tid and
+    overlap filters happen columnarly in build_pileup_columns."""
+    return bai_mod.fetch_raw(rd, idx, tid, start, end)
 
 
 def _concat_cols(parts):
@@ -292,6 +276,7 @@ def run_var(
                 _concat_cols(parts), np.concatenate(sids), w.start, w.end,
                 min_mapq=cfg.caller.min_mapq,
                 min_baseq=cfg.caller.min_baseq,
+                tid=tid,
             )
         else:
             recs = []

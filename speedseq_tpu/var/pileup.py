@@ -256,6 +256,7 @@ def build_pileup_columns(
     end: int,
     min_mapq: int = 1,
     min_baseq: int = 3,
+    tid: Optional[int] = None,
 ) -> WindowPileup:
     """Columnar pileup: the vectorized twin of build_pileup.
 
@@ -294,6 +295,8 @@ def build_pileup_columns(
         & (cols.mapq >= min_mapq) & (ncig > 0) & (slen > 0)
         & (cols.pos < end) & (end_pos > start)
     )
+    if tid is not None:
+        keep &= cols.tid == tid
     kidx = np.nonzero(keep)[0]
     R = len(kidx)
     base_counts = np.zeros((L, 5), np.int32)
@@ -357,13 +360,20 @@ def build_pileup_columns(
             flat_rpos[di] = erpos.astype(np.int32)
             flat_qual[di] = equal
             flat_proj[di[good]] = ebase[good]
-            # counts (only ≥min_baseq bases, matching build_pileup)
+            # counts (only ≥min_baseq bases, matching build_pileup) —
+            # bincount over fused indices (~10× np.add.at)
             gcol = ecol[good].astype(np.int64)
             gbase = ebase[good].astype(np.int64)
-            np.add.at(base_counts, (gcol, gbase), 1)
-            np.add.at(qual_sums, (gcol, gbase), equal[good])
-            np.add.at(strand_counts,
-                      (gcol, gbase, strand[erid[good]].astype(np.int64)), 1)
+            fi = gcol * 5 + gbase
+            base_counts += np.bincount(fi, minlength=L * 5).reshape(
+                L, 5).astype(np.int32)
+            qual_sums += np.bincount(
+                fi, weights=equal[good].astype(np.float64),
+                minlength=L * 5).reshape(L, 5).astype(np.int32)
+            gs = strand[erid[good]].astype(np.int64)
+            strand_counts += np.bincount(
+                fi * 2 + gs, minlength=L * 10).reshape(L, 5, 2
+                                                       ).astype(np.int32)
 
     # ---- indel events (I/D ops anchored at the base before) -------------
     events: List[ReadEvent] = []
