@@ -18,6 +18,10 @@ import time
 import numpy as np
 
 CPU_CORE_READS_PER_S = 5000.0  # bwa mem, 100bp reads, 1 core [ext]
+# freebayes single-core WGS throughput at ~30X is ~12-24 h for 3.1 Gbp →
+# ~35-70 kbp/s; we pin the midpoint [external knowledge; the reference
+# repo publishes no numbers — BASELINE.md]
+CPU_CORE_VAR_KBP_PER_S = 50.0
 
 
 def main():
@@ -102,10 +106,24 @@ def main():
     align_fastq(ref, os.path.join(d, "r1.fq"), os.path.join(d, "r2.fq"),
                 out_prefix=os.path.join(d, "warm"), config=cfg)
     t0 = time.perf_counter()
-    align_fastq(ref, os.path.join(d, "r1.fq"), os.path.join(d, "r2.fq"),
-                out_prefix=os.path.join(d, "e2e"), config=cfg)
+    outs = align_fastq(ref, os.path.join(d, "r1.fq"), os.path.join(d, "r2.fq"),
+                       out_prefix=os.path.join(d, "e2e"), config=cfg)
     e2e_dt = time.perf_counter() - t0
     e2e_reads_per_s = 2 * N / e2e_dt
+
+    # ---- var: BAM → vcf.gz over the full 321,635 bp slice (~25X) -------
+    # device-resident genotyping engine (var.device); warm-timed like the
+    # align step (first run pays jit compile)
+    from speedseq_tpu.var import run_var
+    from speedseq_tpu.var.engine import VarConfig
+
+    slice_bp = 321_635
+    run_var(ref, [outs["bam"]], os.path.join(d, "warm.vcf.gz"),
+            config=VarConfig())
+    t0 = time.perf_counter()
+    run_var(ref, [outs["bam"]], os.path.join(d, "e2e.vcf.gz"),
+            config=VarConfig())
+    var_kbp_per_s = slice_bp / (time.perf_counter() - t0) / 1000.0
 
     print(
         json.dumps(
@@ -117,6 +135,9 @@ def main():
                 "e2e_reads_per_s": round(e2e_reads_per_s, 1),
                 "e2e_vs_baseline": round(
                     e2e_reads_per_s / CPU_CORE_READS_PER_S, 3),
+                "var_kbp_per_s": round(var_kbp_per_s, 1),
+                "var_vs_baseline": round(
+                    var_kbp_per_s / CPU_CORE_VAR_KBP_PER_S, 3),
             }
         )
     )

@@ -388,7 +388,14 @@ def _device_pair_select(
     """Device-side joint pair selection (mirrors pairing.joint_pair_select).
 
     distro: (4,) float32 [mean, std, low, high]."""
-    mean, std, low, high = distro[0], distro[1], distro[2], distro[3]
+    # integer penalty math: float32 0.72·z² is FMA/fusion-sensitive — two
+    # XLA compiles (e.g. fresh JIT vs a persisted AOT artifact) may round
+    # the penalty differently and flip the pair argmax, breaking
+    # cross-process record equality (tests/test_multihost.py).  The
+    # floor-divide integer form is bit-stable everywhere.
+    mean_i = jnp.round(distro[0]).astype(jnp.int32)
+    std_i = jnp.maximum(jnp.round(distro[1]), 1).astype(jnp.int32)
+    high_i = jnp.round(distro[3]).astype(jnp.int32)
     pos1 = sc1.pos[:, :, None]
     pos2 = sc2.pos[:, None, :]
     end1 = sc1.rend_pos[:, :, None]
@@ -399,18 +406,21 @@ def _device_pair_select(
     s2 = sc2.score[:, None, :]
     left = jnp.minimum(pos1, pos2)
     right = jnp.maximum(end1, end2)
-    isize = (right - left).astype(jnp.float32)
+    isize = (right - left).astype(jnp.int32)
     fwd_first = jnp.where(pos1 <= pos2, st1 == 0, st2 == 0)
     proper = (
         (st1 != st2) & fwd_first & (isize > 0)
-        & (isize <= high + 4 * std) & (s1 > 0) & (s2 > 0)
+        & (isize <= high_i + 4 * std_i) & (s1 > 0) & (s2 > 0)
     )
-    z = (isize - mean) / jnp.maximum(std, 1.0)
+    # |d| clamp keeps 72·d² inside int32 (proper pairs have d ≪ 5000;
+    # non-proper lanes never read z2_pen)
+    d = jnp.clip(isize - mean_i, -5000, 5000)
+    z2_pen = (72 * d * d) // (100 * std_i * std_i)   # ⌊0.72 z²⌋
     pen = jnp.where(
         proper,
-        jnp.minimum(jnp.float32(pen_unpaired + 8), 0.72 * z * z),
-        jnp.float32(pen_unpaired),
-    ).astype(jnp.int32)
+        jnp.minimum(jnp.int32(pen_unpaired + 8), z2_pen),
+        jnp.int32(pen_unpaired),
+    )
     total = jnp.where(
         (s1 > 0) & (s2 > 0), s1 + s2 - pen,
         jnp.maximum(s1, s2) - pen_unpaired,

@@ -182,6 +182,7 @@ def align_stream(
     config: AlignConfig = AlignConfig(),
     rg_lines: Optional[List[str]] = None,
     paired: bool = True,
+    marker: Optional[StreamDupMarker] = None,
 ) -> Dict[str, str]:
     """Align a stream of (ReadBatch, ReadBatch|None) pairs.
 
@@ -218,7 +219,10 @@ def align_stream(
             out_prefix + ".discordants.bam", header,
             max_records=cfg.sort_max_records),
     }
-    marker = StreamDupMarker()
+    # an injected marker carries cross-process replicated dup state
+    # (parallel.multihost.WaveSyncDupMarker); default is process-local
+    if marker is None:
+        marker = StreamDupMarker()
     lib_of_rg = _lib_map(rg_lines, cfg)
 
     # checkpoint/resume (batch-granular; a capability the reference lacks —

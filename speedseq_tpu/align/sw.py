@@ -29,7 +29,10 @@ import jax.numpy as jnp
 # CIGAR op codes (htslib sam.h): M=0 I=1 D=2 S=4
 OP_M, OP_I, OP_D, OP_S = 0, 1, 2, 4
 
-NEG = jnp.int32(-(10**6))
+# plain int (weakly-typed in jnp ops): a module-level jnp.int32() would
+# initialize the JAX backend at import time, before callers can pick a
+# platform (parallel.multihost workers force CPU after import)
+NEG = -(10**6)
 
 
 class SWParams(NamedTuple):

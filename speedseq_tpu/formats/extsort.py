@@ -288,3 +288,51 @@ class ExternalBAMSorter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class _BAMRecordStream:
+    """Iterates (key_tuple, raw_record_bytes) from a full (headered) BAM —
+    the per-part input of the multi-host merge."""
+
+    def __init__(self, path: str):
+        from .bam import BAMReader
+
+        self._rd = BAMReader(path)
+        self.header = self._rd.header
+        self.path = path
+
+    def __iter__(self):
+        while True:
+            got = self._rd.read_raw()
+            if got is None:
+                return
+            raw = got[0]
+            tid, pos = struct.unpack_from("<ii", raw, 0)
+            (flag,) = struct.unpack_from("<H", raw, 14)
+            yield (
+                (tid if tid >= 0 else _TID_UNMAPPED, pos + 1,
+                 1 if flag & FREVERSE else 0),
+                raw,
+            )
+
+    def close(self):
+        self._rd.close()
+
+
+def merge_sorted_bams(parts: List[str], out_path: str, level: int = 6) -> None:
+    """k-way merge of coordinate-sorted BAMs into one sorted BAM
+    (sambamba/samtools merge semantics, bam_sort.c:1106 bam_merge_core2;
+    used for sharded multi-host outputs).  Ties resolve in part order —
+    with round-robin batch sharding that equals single-stream order."""
+    streams = [_BAMRecordStream(p) for p in parts]
+    header = streams[0].header
+    with BAMWriter(out_path, header, level=level) as w:
+        iters = [
+            ((key, pi, raw) for key, raw in s)
+            for pi, s in enumerate(streams)
+        ]
+        write_raw = w.write_raw
+        for _key, _pi, raw in heapq.merge(*iters):
+            write_raw(raw)
+    for s in streams:
+        s.close()

@@ -1,0 +1,248 @@
+"""Multi-host (multi-process) alignment scaffolding.
+
+The reference is single-node by design (SURVEY §5: its "communication
+backend" is POSIX pipes + files + text sort).  The TPU-native multi-host
+story (SURVEY §2.3, BASELINE ≥80% 2-host scaling):
+
+- **per-process input sharding**: FASTQ batches are assigned round-robin
+  by batch index (process p takes global batches p, p+P, …), so the
+  concatenation of all processes' streams in (wave, process) order equals
+  the single-process stream order exactly.
+- **device work**: each process runs the production fused align step on
+  its local chips (`jax.distributed.initialize` via :func:`init_distributed`
+  on a real pod; independent backends in the CPU test harness).
+- **global duplicate marking**: samblaster's first-seen semantics must
+  hold across hosts.  Each wave, processes allgather their batch's dup
+  signatures and every process applies all P batches to an identical
+  replicated signature table in (wave, process) order —
+  :class:`WaveSyncDupMarker`.  The exchange transport is a tiny
+  file-based allgather (:class:`FileExchange`) — the DCN analog of the
+  reference's files-as-transport, and exactly what a shared-filesystem
+  pod gives us; payloads are O(new signatures per batch).
+- **deterministic global merge**: each process writes sorted per-process
+  BAM triples; process 0 k-way merges them on the samtools coordinate
+  key with process-order tie-breaking (bam_sort.c:109-119 heap semantics)
+  and builds the BAI.
+
+Record equality with the single-process run is asserted by
+tests/test_multihost.py (2 subprocesses, CPU backends).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import struct
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..align.markdup import StreamDupMarker
+
+
+def init_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """jax.distributed bring-up for a real multi-host pod.  No-op when a
+    single process / no coordinator is configured (the CPU test harness
+    runs independent per-process backends instead)."""
+    import jax
+
+    if coordinator is None:
+        coordinator = os.environ.get("SSQ_COORDINATOR")
+    if coordinator is None or (num_processes or 1) <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+class FileExchange:
+    """Filesystem allgather: write-one, read-all, per wave.
+
+    Writes are atomic (tmp + rename); readers spin-wait with a timeout.
+    This is deliberately the same transport class the reference uses for
+    its global exchanges (files + sort, bin/speedseq:800-806) — on a TPU
+    pod the shared FS or a DCN object store plays this role; the payload
+    is tiny (new dup signatures per batch)."""
+
+    def __init__(self, root: str, num_processes: int, process_id: int,
+                 timeout: float = 300.0):
+        self.root = root
+        self.P = num_processes
+        self.pid = process_id
+        self.timeout = timeout
+        os.makedirs(root, exist_ok=True)
+
+    def allgather(self, wave: int, payload: bytes) -> List[bytes]:
+        mine = os.path.join(self.root, f"w{wave:06d}.p{self.pid}")
+        tmp = mine + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(struct.pack("<q", len(payload)))
+            fh.write(payload)
+        os.replace(tmp, mine)
+        out: List[bytes] = []
+        deadline = time.time() + self.timeout
+        for p in range(self.P):
+            path = os.path.join(self.root, f"w{wave:06d}.p{p}")
+            while True:
+                try:
+                    with open(path, "rb") as fh:
+                        (ln,) = struct.unpack("<q", fh.read(8))
+                        data = fh.read(ln)
+                    if len(data) == ln:
+                        out.append(data)
+                        break
+                except (FileNotFoundError, struct.error):
+                    pass
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"exchange wave {wave}: process {p} missing")
+                time.sleep(0.005)
+        return out
+
+
+_EMPTY = np.zeros(0, np.int64)
+
+
+class WaveSyncDupMarker(StreamDupMarker):
+    """Replicated-table duplicate marker: every process applies every
+    process's batch signatures in (wave, process) order, so all tables
+    stay identical and first-seen resolution equals the single-process
+    stream order."""
+
+    def __init__(self, exchange: FileExchange):
+        super().__init__()
+        self.ex = exchange
+        self.wave = 0
+
+    def mark_batch(self, tid1, p5_1, st1, ok1, tid2, p5_2, st2, ok2,
+                   lib=None):
+        args = [np.asarray(a) for a in
+                (tid1, p5_1, st1, ok1, tid2, p5_2, st2, ok2)]
+        if lib is not None:
+            args.append(np.asarray(lib))
+        payload = pickle.dumps(args, protocol=4)
+        peers = self.ex.allgather(self.wave, payload)
+        self.wave += 1
+        mine = None
+        for p, pl in enumerate(peers):
+            a = pickle.loads(pl)
+            lib_p = a[8] if len(a) > 8 else None
+            d = super().mark_batch(*a[:8], lib=lib_p)
+            if p == self.ex.pid:
+                mine = d
+        return mine
+
+    def finish(self, total_waves: int) -> None:
+        """Participate in waves past this process's last batch (other
+        processes may still be streaming)."""
+        while self.wave < total_waves:
+            self.mark_batch(_EMPTY, _EMPTY, _EMPTY, _EMPTY,
+                            _EMPTY, _EMPTY, _EMPTY, _EMPTY)
+
+
+def _shard_batches(batch_iter, num_processes: int, process_id: int):
+    for bi, item in enumerate(batch_iter):
+        if bi % num_processes == process_id:
+            yield item
+
+
+def align_fastq_multihost(
+    reference: str,
+    fq1: str,
+    fq2: Optional[str],
+    out_prefix: str,
+    config,
+    num_processes: int,
+    process_id: int,
+    exchange_dir: str,
+) -> Optional[dict]:
+    """One process's share of a multi-host align run.
+
+    Every process calls this with its process_id; process 0 returns the
+    final merged output paths, others return None."""
+    from ..align.pipeline import align_stream
+    from ..formats import fastq
+
+    ex = FileExchange(exchange_dir, num_processes, process_id)
+    marker = WaveSyncDupMarker(ex)
+    batches = list(fastq.iter_batches(
+        fq1, batch_size=config.batch_size, max_len=config.max_read_len,
+        paired_with=fq2, interleaved=False,
+    ))
+    total_waves = (len(batches) + num_processes - 1) // num_processes
+    mine = [b for i, b in enumerate(batches) if i % num_processes == process_id]
+    part_prefix = f"{out_prefix}.part{process_id}"
+    align_stream(
+        reference, iter(mine), part_prefix, config,
+        paired=fq2 is not None, marker=marker,
+    )
+    marker.finish(total_waves)
+    # barrier: announce completion, wait for all parts
+    ex.allgather(10**6, b"done")
+    if process_id != 0:
+        return None
+    from ..formats.extsort import merge_sorted_bams
+    from ..formats import bai
+
+    outputs = {}
+    for suffix, key in ((".bam", "bam"), (".splitters.bam", "splitters.bam"),
+                        (".discordants.bam", "discordants.bam")):
+        parts = [f"{out_prefix}.part{p}{suffix}"
+                 for p in range(num_processes)]
+        out = out_prefix + suffix
+        merge_sorted_bams(parts, out)
+        bai.build_bai(out)
+        outputs[key] = out
+        for p in parts:
+            for e in ("", ".bai"):
+                try:
+                    os.unlink(p + e)
+                except OSError:
+                    pass
+    return outputs
+
+
+def _worker_main(argv: List[str]) -> int:
+    """Subprocess entry for one process of a multi-process run (the
+    2-process CPU-mesh test harness spawns this; a real pod would launch
+    one such process per host)."""
+    import json
+
+    if os.environ.get("SSQ_FORCE_CPU"):
+        # the environment's sitecustomize pins JAX_PLATFORMS=axon; force
+        # the CPU backend through BOTH the env var and jax.config before
+        # any device query (see tests/conftest.py)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    (reference, fq1, fq2, out_prefix, num_p, pid, exdir, batch_size,
+     insert) = argv
+    from ..align.pipeline import AlignConfig
+
+    m, s, mx, mn = (float(x) for x in insert.split(","))
+    cfg = AlignConfig(
+        batch_size=int(batch_size),
+        insert_override=(m, s, int(mx), int(mn)),
+    )
+    init_distributed(num_processes=int(num_p), process_id=int(pid))
+    outs = align_fastq_multihost(
+        reference, fq1, fq2 or None, out_prefix, cfg,
+        int(num_p), int(pid), exdir,
+    )
+    if outs is not None:
+        print(json.dumps(outs))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    raise SystemExit(_worker_main(sys.argv[1:]))
