@@ -68,11 +68,12 @@ def main():
         split detection, phase-2 extension with in-kernel traceback, and
         the packed meta+cigar-head device→host fetch (align.pipeline
         fetches exactly this per batch)."""
-        meta, cig16, cigfull, ovf, stats = fused_align_packed(
-            fm, r1, l1, r2, l2, distro=distro, use_pallas=use_pallas,
-            kidx=kidx
-        )
-        f = jax.device_get((meta, cig16, ovf))
+        meta, cig16, cigfull, ovf, stats, xa_meta, xa_cig = (
+            fused_align_packed(
+                fm, r1, l1, r2, l2, distro=distro, use_pallas=use_pallas,
+                kidx=kidx
+            ))
+        f = jax.device_get((meta, cig16, ovf, xa_meta, xa_cig))
         if int(f[2]):
             jax.device_get(cigfull)
         return f

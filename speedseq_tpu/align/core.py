@@ -378,7 +378,18 @@ def _device_choose(
         [sc.strand[bidx, kp],
          jnp.where(has_supp, sc.strand[bidx, ks], 0)], axis=1
     )
-    return a_rpos, a_qpos, a_strand, sub, sub_n
+    # extra XA candidates: the chain table beyond slot 1 — non-overlapping
+    # placements within 80% of the primary score (integer 5·s ≥ 4·sp form;
+    # bwa's XA admission [external knowledge]), excluding the chosen and
+    # slot-1 chains.  Compact-extended by the caller so XA can list up to
+    # max_xa_hits placements and sub_n reflects the whole table.
+    k_idx = jnp.arange(K)[None, :]
+    is_slot1 = has_supp[:, None] & (k_idx == ks[:, None])
+    xa_mask = (
+        non_ovl & (score >= min_out_score)
+        & (5 * score >= 4 * sp[:, None]) & ~is_slot1
+    )
+    return a_rpos, a_qpos, a_strand, sub, sub_n, xa_mask
 
 
 def _device_pair_select(
@@ -604,7 +615,7 @@ def fused_align_step(
         if sc is None:
             out.append(None)
             continue
-        arp, aqp, ast, sub, sub_n = _device_choose(sc, lengths, kk)
+        arp, aqp, ast, sub, sub_n, xa_mask = _device_choose(sc, lengths, kk)
         cand = extend_candidates(
             fm, reads, lengths, arp, aqp, ast,
             params=params, use_pallas=use_pallas,
@@ -615,8 +626,60 @@ def fused_align_step(
                 fm, cand, sc, other[0], other[1], reads, lengths, distro,
                 params, use_pallas,
             )
-        out.append((cand, sub, sub_n, sc))
+        xa = _extend_xa(fm, sc, xa_mask, reads, lengths, params, use_pallas)
+        out.append((cand, sub, sub_n, sc, xa))
     return tuple(out)
+
+
+class XACompact(NamedTuple):
+    """Compacted extra-XA extension results (C lanes for the batch)."""
+
+    read_idx: jnp.ndarray   # (C,) int32 row in the batch; -1 = dead lane
+    pos: jnp.ndarray        # (C,)
+    strand: jnp.ndarray
+    score: jnp.ndarray
+    qbeg: jnp.ndarray
+    qend: jnp.ndarray
+    rend_pos: jnp.ndarray
+    nm: jnp.ndarray
+    n_ops: jnp.ndarray
+    cigar_ops: jnp.ndarray  # (C, MAX_OPS)
+    cigar_len: jnp.ndarray
+
+
+def _extend_xa(fm, sc, xa_mask, reads, lengths, params, use_pallas):
+    """Compacted extension of extra XA chains: most reads have none, so
+    the whole batch's XA work packs into C = B//8 lanes (the same
+    first-fit compaction as mate rescue) and costs ~1/16 of the main
+    extension; overflow chains are silently dropped (bwa caps XA at
+    max_xa_hits anyway)."""
+    B, K = xa_mask.shape
+    C = max(8, B // 8)
+    flat = xa_mask.reshape(-1)
+    csum = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    slot = jnp.where(flat & (csum < C), csum, C)
+    src = jnp.zeros(C + 1, jnp.int32).at[slot].set(
+        jnp.arange(B * K, dtype=jnp.int32))[:C]
+    live = jnp.arange(C) < jnp.minimum(
+        jnp.sum(flat.astype(jnp.int32)), C)
+    rd = src // K
+    ch = src % K
+    resc = extend_candidates(
+        fm, reads[rd], lengths[rd],
+        sc.anchor_rpos[rd, ch][:, None], sc.anchor_qpos[rd, ch][:, None],
+        sc.strand[rd, ch][:, None],
+        params=params, use_pallas=use_pallas,
+    )
+    score = resc.score[:, 0]
+    live = live & (score >= 30)
+    return XACompact(
+        read_idx=jnp.where(live, rd, -1).astype(jnp.int32),
+        pos=resc.pos[:, 0], strand=resc.strand[:, 0], score=score,
+        qbeg=resc.qbeg[:, 0], qend=resc.qend[:, 0],
+        rend_pos=resc.rend_pos[:, 0], nm=resc.nm[:, 0],
+        n_ops=resc.n_ops[:, 0],
+        cigar_ops=resc.cigar_ops[:, 0], cigar_len=resc.cigar_len[:, 0],
+    )
 
 
 # ------------------------------------------------------- packed device I/O
@@ -680,12 +743,12 @@ def fused_align_packed(
         max_hits=max_hits, params=params, use_pallas=use_pallas,
         paired=paired, kidx=kidx, score_mode=score_mode,
     )
-    metas, cigars, stats = [], [], []
+    metas, cigars, stats, xa_metas, xa_cigs = [], [], [], [], []
     max_nops = jnp.int32(0)
     for end in res:
         if end is None:
             continue
-        cand, sub, sub_n, sc = end
+        cand, sub, sub_n, sc, xa = end
         B, S = cand.pos.shape
         sub_b = jnp.broadcast_to(sub[:, None], (B, S))
         sub_n_b = jnp.broadcast_to(sub_n[:, None], (B, S))
@@ -709,15 +772,33 @@ def fused_align_packed(
         max_nops = jnp.maximum(
             max_nops, jnp.max(jnp.where(cand.score > 0, cand.n_ops, 0)))
         stats.append(jnp.stack([sc.pos, sc.strand, sc.score, sc.rend_pos]))
+        # extra-XA lanes (compact): meta rows + head-truncated cigars
+        live = xa.read_idx >= 0
+        xa_metas.append(jnp.stack([
+            xa.read_idx, xa.pos, xa.strand, xa.score, xa.qbeg, xa.qend,
+            xa.rend_pos, xa.n_ops, xa.nm,
+        ]))
+        xv = (
+            jnp.arange(xa.cigar_ops.shape[-1])[None, :]
+            < xa.n_ops[:, None]
+        )
+        xa_cigs.append(jnp.where(
+            xv, (xa.cigar_len << 4) | xa.cigar_ops.astype(jnp.int32), 0
+        ).astype(jnp.int16)[:, :CIGAR_HEAD])
     cigar_full = jnp.stack(cigars)
     # two-tier cigar transfer: the relay moves ~30 MB/s, and real batches
     # almost never exceed CIGAR_HEAD ops — the host fetches the head slice
     # plus this overflow flag, and falls back to cigar_full only when some
     # scoring lane actually has a longer cigar
     overflow = (max_nops > CIGAR_HEAD).astype(jnp.int32)
+    # kill head-overflowing XA lanes (rare; bwa caps XA length anyway)
+    xa_meta = jnp.stack(xa_metas)
+    xa_ok = xa_meta[:, 7] <= CIGAR_HEAD          # n_ops row
+    xa_meta = xa_meta.at[:, 0].set(
+        jnp.where(xa_ok, xa_meta[:, 0], -1))
     return (
         jnp.stack(metas), cigar_full[..., :CIGAR_HEAD], cigar_full,
-        overflow, jnp.stack(stats),
+        overflow, jnp.stack(stats), xa_meta, jnp.stack(xa_cigs),
     )
 
 
@@ -750,6 +831,36 @@ def unpack_fused(meta: np.ndarray, cigar: np.ndarray) -> list:
             sub=m[9][:, 0], sub_n=m[10][:, 0],
             cigar_ops=cigar[e] & 0xF,
             cigar_len=cigar[e].astype(np.int32) >> 4,
+        ))
+    return out
+
+
+class PackedXA(NamedTuple):
+    """Host view of one end's compacted extra-XA lanes."""
+
+    read_idx: np.ndarray
+    pos: np.ndarray
+    strand: np.ndarray
+    score: np.ndarray
+    qbeg: np.ndarray
+    qend: np.ndarray
+    rend_pos: np.ndarray
+    n_ops: np.ndarray
+    nm: np.ndarray
+    cigar_ops: np.ndarray
+    cigar_len: np.ndarray
+
+
+def unpack_xa(xa_meta: np.ndarray, xa_cig: np.ndarray) -> list:
+    """Per-end host views of the packed extra-XA lanes."""
+    out = []
+    for e in range(xa_meta.shape[0]):
+        m = xa_meta[e]
+        out.append(PackedXA(
+            read_idx=m[0], pos=m[1], strand=m[2], score=m[3], qbeg=m[4],
+            qend=m[5], rend_pos=m[6], n_ops=m[7], nm=m[8],
+            cigar_ops=xa_cig[e] & 0xF,
+            cigar_len=xa_cig[e].astype(np.int32) >> 4,
         ))
     return out
 

@@ -475,6 +475,9 @@ def _sa_fragment(name: str, pos1: int, strand: int, cig: str, mapq: int,
             + b"\x00")
 
 
+_MAX_XA_HITS = 5   # bwa mem max XA entries per read [external knowledge]
+
+
 def build_batch_records(
     ends: List,                      # [PackedEnd] (1 or 2)
     batches: List,                   # [ReadBatch] sliced views
@@ -484,6 +487,7 @@ def build_batch_records(
     marker,                          # StreamDupMarker
     lib_of_rg: Dict[str, int],
     min_out_score: int = 30,
+    xas: Optional[List] = None,      # [PackedXA] compacted extra XA lanes
 ) -> Dict[str, RecordColumns]:
     """One batch: device fetch → {bam, splitters, discordants} columns.
 
@@ -656,6 +660,9 @@ def build_batch_records(
         extra_parts: Dict[int, bytes] = {}
         sa_rows = np.nonzero(has_split)[0]
         xa_rows = np.nonzero(has_xa)[0]
+        # per-read XA entry lists: slot-1 secondary + compacted extra
+        # lanes (bwa emits up to _MAX_XA_HITS placements, best first)
+        xa_entries: Dict[int, List[Tuple[int, str]]] = {}
         if len(sa_rows) or len(xa_rows):
             both_rows = np.concatenate([sa_rows, xa_rows])
             cb1, co1 = e.slot_cigar(1, both_rows)
@@ -672,12 +679,75 @@ def build_batch_records(
                     int(e.nm[r, 1]))
             for r in xa_rows:
                 r = int(r)
-                extra_parts[r] = (
-                    b"XAZ"
-                    + (f"{idx.names[int(e.tid[r, 1])]},"
-                       f"{'-' if e.strand[r, 1] else '+'}{int(e.cpos[r, 1]) + 1},"
-                       f"{cstrs[r]},{int(e.nm[r, 1])};").encode()
-                    + b"\x00")
+                xa_entries.setdefault(r, []).append((
+                    int(e.score[r, 1]),
+                    f"{idx.names[int(e.tid[r, 1])]},"
+                    f"{'-' if e.strand[r, 1] else '+'}{int(e.cpos[r, 1]) + 1},"
+                    f"{cstrs[r]},{int(e.nm[r, 1])};",
+                ))
+        xa = xas[w] if xas is not None and w < len(xas) else None
+        if xa is not None:
+            lanes = np.nonzero(
+                (np.asarray(xa.read_idx) >= 0)
+                & (np.asarray(xa.read_idx) < n)
+            )[0]
+            if len(lanes):
+                bounds = np.asarray(idx.offsets + [idx.l_pac], np.int64)
+                lpos = np.asarray(xa.pos)[lanes].astype(np.int64)
+                ltid = np.searchsorted(bounds, lpos, side="right") - 1
+                lcpos = lpos - bounds[np.clip(ltid, 0, len(bounds) - 2)]
+                lrd = np.asarray(xa.read_idx)[lanes].astype(np.int64)
+                # cigars with clips for each lane
+                M = xa.cigar_ops.shape[1]
+                km = ((np.arange(M)[None, :]
+                       < np.asarray(xa.n_ops)[lanes, None])
+                      & (np.asarray(xa.cigar_len)[lanes] > 0))
+                grid = np.zeros((len(lanes), M + 2), np.uint32)
+                grid[:, 1:M + 1] = np.where(
+                    km,
+                    (np.asarray(xa.cigar_len)[lanes].astype(np.int64) << 4)
+                    | np.asarray(xa.cigar_ops)[lanes], 0).astype(np.uint32)
+                lead = np.asarray(xa.qbeg)[lanes].astype(np.int64)
+                tail = e.length[lrd] - np.asarray(
+                    xa.qend)[lanes].astype(np.int64)
+                grid[:, 0] = np.where(
+                    lead > 0, (lead << 4) | 4, 0).astype(np.uint32)
+                grid[:, M + 1] = np.where(
+                    tail > 0, (tail << 4) | 4, 0).astype(np.uint32)
+                gvalid = grid != 0
+                glens = gvalid.sum(axis=1).astype(np.int64)
+                goff = np.zeros(len(lanes) + 1, np.int64)
+                np.cumsum(glens, out=goff[1:])
+                gs_blob, gs_off = _cigar_strings(grid[gvalid], goff)
+                for j in range(len(lanes)):
+                    r = int(lrd[j])
+                    if not ok[r]:
+                        continue
+                    # a lane duplicating the primary placement is skipped
+                    if (int(ltid[j]) == int(e.tid[r, 0])
+                            and int(lcpos[j]) == int(e.cpos[r, 0])):
+                        continue
+                    cig = gs_blob[gs_off[j]:gs_off[j + 1]].tobytes().decode()
+                    xa_entries.setdefault(r, []).append((
+                        int(np.asarray(xa.score)[lanes[j]]),
+                        f"{idx.names[int(ltid[j])]},"
+                        f"{'-' if np.asarray(xa.strand)[lanes[j]] else '+'}"
+                        f"{int(lcpos[j]) + 1},{cig},"
+                        f"{max(0, int(np.asarray(xa.nm)[lanes[j]]))};",
+                    ))
+        for r, entries in xa_entries.items():
+            entries.sort(key=lambda t: -t[0])
+            seen = set()
+            frags = []
+            for _s, f in entries:
+                if f not in seen:
+                    seen.add(f)
+                    frags.append(f)
+                if len(frags) >= _MAX_XA_HITS:
+                    break
+            extra_parts[r] = (
+                extra_parts.get(r, b"")
+                + b"XAZ" + "".join(frags).encode() + b"\x00")
         extra_off = np.zeros(n + 1, np.int64)
         if extra_parts:
             elens = np.zeros(n, np.int64)

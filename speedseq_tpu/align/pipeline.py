@@ -317,11 +317,14 @@ def align_stream(
             # extra fetch for the full (E, B, S, MAX_OPS) array
             cig = jax.device_get(item["cigfull"])
         ends = unpack_fused(fetched[0], cig)
+        from .core import unpack_xa
+
+        xas = unpack_xa(fetched[3], fetched[4])
         if est_distro:
             mk = lambda s: types.SimpleNamespace(
                 pos=s[0], strand=s[1], score=s[2], rend_pos=s[3])
             distro = _estimate_distro(
-                mk(fetched[3][0]), mk(fetched[3][1]), cfg,
+                mk(fetched[5][0]), mk(fetched[5][1]), cfg,
                 fallback=distro,
             )
             distro_arr = jnp.asarray(
@@ -345,11 +348,21 @@ def align_stream(
 
         cols = build_batch_records(
             ends, batches, idx, batch_distro, cfg, marker, lib_of_rg,
+            xas=xas,
         )
         sorters["bam"].add_columns(cols["bam"])
         sorters["splitters"].add_columns(cols["splitters"])
         sorters["discordants"].add_columns(cols["discordants"])
         n_reads += n * len(batches)
+        from ..utils.metrics import metrics
+
+        metrics.add("align.batches")
+        metrics.add("align.reads", n * len(batches))
+        metrics.add("align.records.bam", cols["bam"].n)
+        metrics.add("align.records.splitters", cols["splitters"].n)
+        metrics.add("align.records.discordants", cols["discordants"].n)
+        metrics.add("align.duplicates",
+                    int((np.asarray(cols["bam"].flag) & FDUP != 0).sum()))
         if cfg.checkpoint and (bi + 1) % cfg.checkpoint_every == 0:
             _save_ckpt(bi)
 
@@ -391,7 +404,7 @@ def align_stream(
                 min_seed_len=cfg.min_seed_len,
                 use_pallas=use_pallas,
                 kidx=kidx,
-            )[:5]
+            )[:7]
         else:
             res = fused_align_packed(
                 fm,
@@ -405,8 +418,8 @@ def align_stream(
                 paired=is_paired_batch,
                 kidx=kidx,
             )
-        meta_d, cig16_d, cigfull_d, ovf_d, stats_d = res
-        fetch_args = (meta_d, cig16_d, ovf_d) + (
+        meta_d, cig16_d, cigfull_d, ovf_d, stats_d, xam_d, xac_d = res
+        fetch_args = (meta_d, cig16_d, ovf_d, xam_d, xac_d) + (
             (stats_d,) if est_distro else ())
         item = {
             "bi": bi, "batches": batches, "seqs_p": seqs_p, "lens_p": lens_p,
@@ -442,6 +455,9 @@ def align_stream(
     if cfg.verbose:
         dt = time.time() - t0
         print(f"[align] {n_reads} reads in {dt:.1f}s ({n_reads/dt:.0f} reads/s)")
+        from ..utils.metrics import metrics
+
+        print(metrics.report(prefix="[align] "))
     return outputs
 
 

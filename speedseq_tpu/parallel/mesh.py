@@ -71,24 +71,31 @@ def _build_step(mesh: Mesh, axis: str, paired: bool, n_chains: int,
             P(None, axis),         # cigar   (E, B, S, MAX_OPS)
             P(),                   # overflow (pmax-reduced scalar)
             P(None, None, axis),   # stats   (E, 4, B, K)
+            P(None, None, axis),   # xa_meta (E, 9, C)
+            P(None, axis),         # xa_cig  (E, C, CIGAR_HEAD)
             P(),                   # n_aligned (psum-reduced scalar)
         ),
     )
     def step(fm_, kidx_, distro_, r1, l1, *rest):
         r2, l2 = (rest[0], rest[1]) if paired else (None, None)
-        meta, cig16, cigar, overflow, stats = fused_align_packed(
-            fm_, r1, l1, r2, l2, distro=distro_,
-            n_chains=n_chains, min_seed_len=min_seed_len,
-            use_pallas=use_pallas, paired=paired,
-            kidx=kidx_ if has_kidx else None,
-        )
+        meta, cig16, cigar, overflow, stats, xa_meta, xa_cig = (
+            fused_align_packed(
+                fm_, r1, l1, r2, l2, distro=distro_,
+                n_chains=n_chains, min_seed_len=min_seed_len,
+                use_pallas=use_pallas, paired=paired,
+                kidx=kidx_ if has_kidx else None,
+            ))
+        # XA lanes carry shard-local read rows: rebase to global batch rows
+        base = jax.lax.axis_index(axis).astype(jnp.int32) * r1.shape[0]
+        ri = xa_meta[:, 0]
+        xa_meta = xa_meta.at[:, 0].set(jnp.where(ri >= 0, ri + base, -1))
         overflow = jax.lax.pmax(overflow, axis)
         # global aligned-read count over ICI (the reference's analog is
         # each pipe reporting to the driver's stdout)
         n_aligned = jax.lax.psum(
             jnp.sum((meta[:, 2, :, 0] >= 30).astype(jnp.int32)), axis
         )
-        return meta, cig16, cigar, overflow, stats, n_aligned
+        return meta, cig16, cigar, overflow, stats, xa_meta, xa_cig, n_aligned
 
     fn = jax.jit(step)
     _step_cache[key] = fn

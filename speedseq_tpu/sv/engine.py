@@ -268,6 +268,11 @@ def run_sv(
     )
     calls = cluster_breakpoints(
         evidence, min_weight=cfg.min_weight, trim=cfg.trim_threshold)
+    from ..utils.metrics import metrics
+
+    metrics.add("sv.evidence.pe", sum(1 for b in evidence if not b.is_split))
+    metrics.add("sv.evidence.sr", sum(1 for b in evidence if b.is_split))
+    metrics.add("sv.calls", len(calls))
     if cfg.verbose:
         print(f"[sv] {len(evidence)} evidence items → {len(calls)} calls")
 

@@ -293,8 +293,14 @@ def run_var(
                 min_mapq=cfg.caller.min_mapq,
                 min_baseq=cfg.caller.min_baseq,
             )
-        calls = call_window(genome, pile, len(samples), cfg.caller,
-                            mesh=mesh)
+        from ..utils.metrics import metrics
+
+        metrics.add("var.windows")
+        metrics.add("var.reads", len(pile.rstart))
+        with metrics.timer("var.genotype"):
+            calls = call_window(genome, pile, len(samples), cfg.caller,
+                                mesh=mesh)
+        metrics.add("var.sites", len(calls))
         out = []
         for c in calls:
             rec = site_to_vcf(c, w.chrom, w.start, len(samples))
@@ -309,14 +315,34 @@ def run_var(
             print(f"[var] {w.chrom}:{w.start}-{w.end}: {len(calls)} sites")
         return wi, out
 
+    def _one_window_safe(item):
+        """Window-failure tolerance: the reference merges windows with
+        ``|| true`` so one empty/failed window never aborts the run
+        (bin/speedseq:768,803).  A failing window logs and yields no
+        records; the merge proceeds."""
+        try:
+            return _one_window(item)
+        except Exception as e:  # noqa: BLE001 — deliberate containment
+            import traceback
+
+            wi, w = item
+            from ..utils.metrics import metrics
+
+            metrics.add("var.windows_failed")
+            print(f"[var] window {w.chrom}:{w.start}-{w.end} failed: "
+                  f"{type(e).__name__}: {e}", flush=True)
+            if cfg.verbose:
+                traceback.print_exc()
+            return wi, []
+
     items = list(enumerate(windows))
     results = []
     try:
         if cfg.threads > 1:
             with ThreadPoolExecutor(max_workers=cfg.threads) as pool:
-                results = list(pool.map(_one_window, items))
+                results = list(pool.map(_one_window_safe, items))
         else:
-            results = [_one_window(it) for it in items]
+            results = [_one_window_safe(it) for it in items]
     finally:
         for rds in all_readers:
             for rd in rds:

@@ -338,3 +338,58 @@ def test_mate_rescue_recovers_seedless_end(genome, tmp_path):
         if r is not None and not (r.flag & FUNMAP):
             ok += abs(r.pos - int(truth.pos2[i])) <= 12
     assert ok >= mapped * 0.9
+
+
+def test_multimap_xa_and_mapq_distribution(tmp_path):
+    """Reads from a 3-copy repeat must get near-zero MAPQ (sub_n over the
+    full chain table) and XA lists with multiple alternate placements
+    (VERDICT r2 item 8: the secondary surface beyond one slot)."""
+    from speedseq_tpu.formats.fasta import decode_bases
+    from speedseq_tpu.utils import sim as _sim
+
+    rng = np.random.default_rng(12)
+    uniq = rng.integers(0, 4, 30_000).astype(np.uint8)
+    seg = rng.integers(0, 4, 800).astype(np.uint8)
+    genome = np.concatenate([
+        uniq[:10_000], seg, uniq[10_000:20_000], seg,
+        uniq[20_000:30_000], seg,
+    ])
+    fa = str(tmp_path / "rep.fa")
+    with open(fa, "w") as fh:
+        s = decode_bases(genome).decode()
+        fh.write(">rep\n" + "\n".join(
+            s[i:i + 60] for i in range(0, len(s), 60)) + "\n")
+    # pairs fully inside the FIRST repeat copy (inserts ~300 < 800)
+    names, s1, q1, s2, q2, truth = _sim.simulate_pairs(
+        genome[10_000:10_800], 60, read_len=100, seed=3, error_rate=0.0)
+    # plus unique-region pairs as the high-MAPQ control
+    n2, u1, uq1, u2, uq2, t2 = _sim.simulate_pairs(
+        genome[:9_000], 60, read_len=100, seed=4, error_rate=0.0)
+    _sim.to_fastq(str(tmp_path / "x1.fq"), str(tmp_path / "x2.fq"),
+                  list(names) + ["u" + x for x in n2],
+                  np.concatenate([s1, u1]), np.concatenate([q1, uq1]),
+                  np.concatenate([s2, u2]), np.concatenate([q2, uq2]))
+    outs = align_fastq(fa, str(tmp_path / "x1.fq"), str(tmp_path / "x2.fq"),
+                       out_prefix=str(tmp_path / "rep"),
+                       config=AlignConfig(batch_size=256))
+    hdr, recs = read_bam(outs["bam"])
+    prim = [r for r in recs
+            if not (r.flag & (FSUPPLEMENTARY | FSECONDARY | FUNMAP))]
+    rep = [r for r in prim if not r.qname.startswith("usim")]
+    unq = [r for r in prim if r.qname.startswith("usim")]
+    assert rep and unq
+    # MAPQ distribution: repeat reads ambiguous, unique reads confident
+    rep_mapq = np.array([r.mapq for r in rep])
+    unq_mapq = np.array([r.mapq for r in unq])
+    assert np.median(rep_mapq) <= 10, rep_mapq[:20]
+    assert np.median(unq_mapq) >= 40, unq_mapq[:20]
+    # XA surface: repeat reads list alternates; some list ≥2 (3 copies)
+    xa_lists = [r.get_tag("XA") for r in rep if r.get_tag("XA")]
+    assert len(xa_lists) >= 0.5 * len(rep), (len(xa_lists), len(rep))
+    multi = [x for x in xa_lists if x.count(";") >= 2]
+    assert multi, xa_lists[:5]
+    # XA fragments are well-formed: rname,±pos,cigar,NM;
+    for frag in xa_lists[0].rstrip(";").split(";"):
+        rname, spos, cig, nm = frag.split(",")
+        assert rname == "rep" and spos[0] in "+-" and int(nm) >= 0
+        assert cig[-1] in "MIDSH" and int(spos[1:]) > 0

@@ -316,3 +316,59 @@ def test_packed_sort_keys_unmapped_last():
     want = sorted(range(len(tuples)), key=lambda i: (tuples[i], i))
     assert list(order) == want
     assert keys.max() > 0  # no sign-bit overflow
+
+
+def test_var_window_failure_tolerance(monkeypatch, tmp_path):
+    """A failing window must not abort the run (the reference's `|| true`
+    merge semantics, bin/speedseq:768,803) and must be counted."""
+    import gzip
+
+    from speedseq_tpu.formats.fasta import FastaFile
+    from speedseq_tpu.utils import sim
+    from speedseq_tpu.utils.metrics import metrics
+    from speedseq_tpu.var import run_var
+    from speedseq_tpu.var.engine import VarConfig
+    from speedseq_tpu.var import engine as var_engine
+
+    genome = FastaFile(REF).fetch_encoded("20_slice")
+    names, s1, q1, s2, q2, t = sim.simulate_pairs(
+        genome[:30000], 150, read_len=100, seed=31)
+    d = tmp_path
+    sim.to_fastq(str(d / "f1.fq"), str(d / "f2.fq"), names, s1, q1, s2, q2)
+    outs = align_fastq(REF, str(d / "f1.fq"), str(d / "f2.fq"),
+                       out_prefix=str(d / "ff"), config=AlignConfig(batch_size=256))
+    real_call = var_engine.call_window
+    state = {"n": 0}
+
+    def flaky(*a, **k):
+        state["n"] += 1
+        if state["n"] == 1:
+            raise RuntimeError("injected window fault")
+        return real_call(*a, **k)
+
+    monkeypatch.setattr(var_engine, "call_window", flaky)
+    metrics.reset()
+    out = run_var(REF, [outs["bam"]], str(d / "v.vcf.gz"),
+                  config=VarConfig(window_size=10_000))
+    assert os.path.exists(out)
+    snap = metrics.snapshot()
+    assert snap.get("var.windows_failed") == 1
+    # the remaining windows still processed
+    assert snap.get("var.windows", 0) >= 2
+    # output is a valid (possibly empty) vcf.gz
+    list(gzip.open(out, "rt"))
+
+
+def test_metrics_counters():
+    from speedseq_tpu.utils.metrics import Metrics
+
+    m = Metrics()
+    m.add("x")
+    m.add("x", 2)
+    with m.timer("t"):
+        pass
+    snap = m.snapshot()
+    assert snap["x"] == 3 and "time.t" in snap
+    assert "x: 3" in m.report()
+    m.reset()
+    assert m.snapshot() == {}

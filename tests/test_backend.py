@@ -31,20 +31,32 @@ def test_distributed_fused_step_matches_single_device(tiny_world):
     outs = {}
     for n_dev in (1, 8):
         mesh = make_mesh(n_dev)
-        meta, cig16, cigar, ovf, stats, n_aligned = distributed_fused_step(
+        (meta, cig16, cigar, ovf, stats, xa_meta, xa_cig,
+         n_aligned) = distributed_fused_step(
             mesh, fm, r1, l1, r2, l2, kidx=kidx, n_chains=2,
         )
+        # XA lane packing is shard-local (C lanes per shard) so lane
+        # ORDER differs across shard counts; compare as (read, pos) sets
+        xm = np.asarray(xa_meta)
+        xa_set = set()
+        for e in range(xm.shape[0]):
+            live = xm[e, 0] >= 0
+            xa_set |= {
+                (e,) + tuple(int(x) for x in xm[e, :, j])
+                for j in np.nonzero(live)[0]
+            }
         outs[n_dev] = (
             np.asarray(meta), np.asarray(cig16), np.asarray(cigar),
-            np.asarray(stats), int(n_aligned),
+            np.asarray(stats), int(n_aligned), xa_set,
         )
-    m1, h1, c1, s1, a1 = outs[1]
-    m8, h8, c8, s8, a8 = outs[8]
+    m1, h1, c1, s1, a1, x1 = outs[1]
+    m8, h8, c8, s8, a8, x8 = outs[8]
     assert a1 == a8 and a1 > 0
     np.testing.assert_array_equal(m1, m8)
     np.testing.assert_array_equal(h1, h8)
     np.testing.assert_array_equal(c1, c8)
     np.testing.assert_array_equal(s1, s8)
+    assert x1 == x8
 
 
 def test_dryrun_multichip_entrypoint():
