@@ -192,6 +192,14 @@ def align_stream(
     """
     t0 = time.time()
     cfg = config
+    # profiler hook (SURVEY §5: tracing is a required addition over the
+    # reference's stdout-echo-only observability): SSQ_JAX_TRACE=<dir>
+    # captures a JAX/XLA profiler trace of the whole run
+    trace_dir = os.environ.get("SSQ_JAX_TRACE")
+    if trace_dir:
+        import jax.profiler as _prof
+
+        _prof.start_trace(trace_dir)
     idx, fm, kidx = _load_fm(reference, cfg.seed_mode)
 
     distro: Optional[InsertDistro] = None
@@ -452,6 +460,10 @@ def align_stream(
         path = out_prefix + suffix
         bai.build_bai(path)
         outputs[suffix[1:]] = path
+    if trace_dir:
+        import jax.profiler as _prof
+
+        _prof.stop_trace()
     if cfg.verbose:
         dt = time.time() - t0
         print(f"[align] {n_reads} reads in {dt:.1f}s ({n_reads/dt:.0f} reads/s)")

@@ -372,3 +372,47 @@ def test_metrics_counters():
     assert "x: 3" in m.report()
     m.reset()
     assert m.snapshot() == {}
+
+
+def test_bamutil_filter_and_group(tmp_path):
+    """bamkit equivalents: bamfilterrg subset + bamgroupreads name-group
+    (reference scripts at bin/speedseq:1885-1962 / .gitmodules:19-21)."""
+    from speedseq_tpu.formats.bam import read_bam, write_bam
+    from speedseq_tpu.formats.bamutil import (
+        filter_read_groups, group_reads_by_name,
+    )
+    from speedseq_tpu.formats.sam import SAMHeader, SAMRecord
+
+    hdr = SAMHeader.build(
+        refs=[("c1", 5000)],
+        read_groups=["@RG\tID:a\tSM:s1", "@RG\tID:b\tSM:s2"],
+    )
+    recs = []
+    for i, (name, rg) in enumerate([
+        ("r10", "a"), ("r2", "b"), ("r2", "b"), ("r1", "a"), ("r10", "a"),
+    ]):
+        flag = 0x40 if i % 2 == 0 else 0x80
+        recs.append(SAMRecord(
+            qname=name, flag=flag | 1, tid=0, pos=100 * i, mapq=40,
+            cigar=[(0, 50)], mtid=-1, mpos=-1, tlen=0, seq="A" * 50,
+            qual="I" * 50, tags=[("RG", "Z", rg)],
+        ))
+    src = str(tmp_path / "u.bam")
+    write_bam(src, hdr, recs)
+
+    out = str(tmp_path / "rg_a.bam")
+    n = filter_read_groups(src, out, ["a"])
+    assert n == 3
+    h2, r2 = read_bam(out)
+    assert all(r.get_tag("RG") == "a" for r in r2)
+    assert "ID:b" not in h2.text and "ID:a" in h2.text
+
+    gout = str(tmp_path / "grouped.bam")
+    group_reads_by_name(src, gout)
+    h3, r3 = read_bam(gout)
+    names = [r.qname for r in r3]
+    # natural-number order: r1 < r2 < r10 (lexicographic would put r10 first)
+    assert names == ["r1", "r2", "r2", "r10", "r10"]
+    # read1 precedes read2 within a name group
+    fl = [(r.qname, bool(r.flag & 0x40)) for r in r3]
+    assert fl[1] == ("r2", True) and fl[2] == ("r2", False)
