@@ -99,7 +99,18 @@ def _index_cache_path(reference: str) -> str:
     return os.path.join(d, f"safull-{key}.npy")
 
 
+_fm_cache: Dict[Tuple[str, str], tuple] = {}
+
+
 def _load_fm(reference: str, seed_mode: str = "hash"):
+    # process-level cache: repeat align runs against the same reference
+    # (realign per-library loops, bench warm runs) skip the ~0.6 s
+    # index/occ/k-mer rebuild (the reference's analog: bwa keeps its
+    # index mapped per process)
+    ck = (os.path.abspath(reference), seed_mode)
+    hit = _fm_cache.get(ck)
+    if hit is not None and hit[0] == os.stat(reference).st_mtime_ns:
+        return hit[1]
     # auto `bwa index` behavior (bin/speedseq:386-391)
     if not os.path.exists(reference + ".bwt"):
         idx = build_index(reference)
@@ -128,7 +139,10 @@ def _load_fm(reference: str, seed_mode: str = "hash"):
             np.save(cache, sa_full)
         except Exception:
             pass
-    return idx, FMIndex.from_bwa(idx, sa_full=sa_full), kidx
+    out = (idx, FMIndex.from_bwa(idx, sa_full=sa_full), kidx)
+    _fm_cache.clear()          # hold at most one reference's index
+    _fm_cache[ck] = (os.stat(reference).st_mtime_ns, out)
+    return out
 
 
 def _phred(q: np.ndarray, length: int) -> str:
@@ -317,8 +331,11 @@ def align_stream(
         seqs_p, lens_p = item["seqs_p"], item["lens_p"]
         is_paired_batch = item["is_paired"]
         est_distro = item["est_distro"]
+        from ..utils.metrics import metrics
+
         n = batches[0].n
-        fetched = item["fut"].result()
+        with metrics.timer("align.fetch_wait"):
+            fetched = item["fut"].result()
         cig = fetched[1]
         if int(fetched[2]):
             # rare: some lane exceeded the cigar head slice — pay one
@@ -354,16 +371,16 @@ def align_stream(
             mean=300.0, std=100.0, low=50, high=700)
         from .emit import build_batch_records
 
-        cols = build_batch_records(
-            ends, batches, idx, batch_distro, cfg, marker, lib_of_rg,
-            xas=xas,
-        )
-        sorters["bam"].add_columns(cols["bam"])
-        sorters["splitters"].add_columns(cols["splitters"])
-        sorters["discordants"].add_columns(cols["discordants"])
+        with metrics.timer("align.emit"):
+            cols = build_batch_records(
+                ends, batches, idx, batch_distro, cfg, marker, lib_of_rg,
+                xas=xas,
+            )
+        with metrics.timer("align.sort_intake"):
+            sorters["bam"].add_columns(cols["bam"])
+            sorters["splitters"].add_columns(cols["splitters"])
+            sorters["discordants"].add_columns(cols["discordants"])
         n_reads += n * len(batches)
-        from ..utils.metrics import metrics
-
         metrics.add("align.batches")
         metrics.add("align.reads", n * len(batches))
         metrics.add("align.records.bam", cols["bam"].n)

@@ -54,8 +54,19 @@ class _RefIndex:
 
 def build_bai(bam_path: str, bai_path: Optional[str] = None) -> str:
     """Build a .bai for a coordinate-sorted BAM (sambamba/samtools index
-    equivalent; invoked by the reference at bin/speedseq:491-495)."""
+    equivalent; invoked by the reference at bin/speedseq:491-495).
+
+    Columnar fast path when the native codec is available (one BGZF
+    block-table scan + one record decode + vectorized voff/bin math,
+    byte-identical output); per-record fallback otherwise."""
     bai_path = bai_path or bam_path + ".bai"
+    try:
+        from .. import native
+
+        if native.available():
+            return _build_bai_columnar(bam_path, bai_path)
+    except Exception:
+        pass
     with BAMReader(bam_path) as rd:
         n_ref = len(rd.header.refs)
         refs = [_RefIndex() for _ in range(n_ref)]
@@ -96,6 +107,119 @@ def build_bai(bam_path: str, bai_path: Optional[str] = None) -> str:
             out += struct.pack("<QQ", ri.n_mapped, ri.n_unmapped)
         out += struct.pack("<i", len(ri.linear))
         # fill linear-index holes with previous offset (hts.c idx_save)
+        prev = 0
+        for w in ri.linear:
+            if w == 0:
+                w = prev
+            prev = w
+            out += struct.pack("<Q", w)
+    out += struct.pack("<Q", n_no_coor)
+    with open(bai_path, "wb") as fh:
+        fh.write(out)
+    return bai_path
+
+
+def _reg2bin_vec(beg, end):
+    import numpy as np
+
+    e = end - 1
+    out = np.zeros(len(beg), np.int64)
+    done = np.zeros(len(beg), bool)
+    for shift, offset in ((14, 4681), (17, 585), (20, 73), (23, 9), (26, 1)):
+        m = ~done & ((beg >> shift) == (e >> shift))
+        out[m] = offset + (beg[m] >> shift)
+        done |= m
+    return out
+
+
+def _build_bai_columnar(bam_path: str, bai_path: str) -> str:
+    """Vectorized twin of the record-loop builder (same bytes): block
+    table → per-record virtual offsets by searchsorted; bins/ref-ends as
+    columns; only the per-record chunk-merge walk stays Python (plain
+    int ops)."""
+    import numpy as np
+
+    from .. import native
+    from ..sv.columnar import read_bam_columns, record_sizes
+
+    with open(bam_path, "rb") as fh:
+        data = fh.read()
+    co, isz = native.bgzf_block_table(data)
+    ublock = np.zeros(len(isz) + 1, np.int64)
+    np.cumsum(isz, out=ublock[1:])
+    refs_hdr, cols, blob = read_bam_columns(bam_path, with_blob=True)
+    n_ref = len(refs_hdr)
+    H = ublock[-1] - len(blob)          # header bytes in the plain stream
+    sizes = record_sizes(cols)
+    starts = np.zeros(cols.n, np.int64)
+    np.cumsum(sizes[:-1], out=starts[1:])
+    starts += H
+    ends_b = starts + sizes
+    # reader-identical virtual offsets: the block containing byte-1 keeps
+    # records at block boundaries addressed as (prev block, block_len),
+    # exactly like BGZFReader.tell_virtual after a full-block read
+    bb = np.searchsorted(ublock, starts - 1, side="right") - 1
+    voff_beg = (co[bb] << 16) | (starts - ublock[bb])
+    be = np.searchsorted(ublock, ends_b - 1, side="right") - 1
+    voff_end = (co[be] << 16) | (ends_b - ublock[be])
+
+    from ..sv.columnar import cigar_ref_lengths
+
+    rl = cigar_ref_lengths(cols)
+    pos = cols.pos.astype(np.int64)
+    end = pos + np.maximum(rl, 1)
+    tid = cols.tid.astype(np.int64)
+    mapped = (cols.flag.astype(np.int64) & FUNMAP) == 0
+    placed = (tid >= 0) & (pos >= 0)
+    bins = _reg2bin_vec(pos, end)
+
+    refs = [_RefIndex() for _ in range(n_ref)]
+    n_no_coor = int((~placed).sum())
+    pi = np.nonzero(placed)[0]
+    tid_l = tid[pi].tolist()
+    pos_l = pos[pi].tolist()
+    end_l = end[pi].tolist()
+    vb_l = voff_beg[pi].tolist()
+    ve_l = voff_end[pi].tolist()
+    bin_l = bins[pi].tolist()
+    map_l = mapped[pi].tolist()
+    for t, p, e, vb, ve, b, m in zip(
+        tid_l, pos_l, end_l, vb_l, ve_l, bin_l, map_l
+    ):
+        ri = refs[t]
+        chunks = ri.bins.setdefault(b, [])
+        if chunks and chunks[-1][1] == vb:
+            chunks[-1] = (chunks[-1][0], ve)
+        else:
+            chunks.append((vb, ve))
+        wbeg, wend = p >> LINEAR_SHIFT, (e - 1) >> LINEAR_SHIFT
+        lin = ri.linear
+        if len(lin) <= wend:
+            lin.extend([0] * (wend + 1 - len(lin)))
+        for w in range(wbeg, wend + 1):
+            if lin[w] == 0:
+                lin[w] = vb
+        if ri.off_beg < 0:
+            ri.off_beg = vb
+        ri.off_end = ve
+        if m:
+            ri.n_mapped += 1
+        else:
+            ri.n_unmapped += 1
+    out = bytearray(BAI_MAGIC + struct.pack("<i", n_ref))
+    for ri in refs:
+        n_bin = len(ri.bins) + (1 if ri.n_mapped + ri.n_unmapped > 0 else 0)
+        out += struct.pack("<i", n_bin)
+        for b in sorted(ri.bins):
+            chunks = ri.bins[b]
+            out += struct.pack("<Ii", b, len(chunks))
+            for cb, ce in chunks:
+                out += struct.pack("<QQ", cb, ce)
+        if ri.n_mapped + ri.n_unmapped > 0:
+            out += struct.pack("<Ii", PSEUDO_BIN, 2)
+            out += struct.pack("<QQ", ri.off_beg, ri.off_end)
+            out += struct.pack("<QQ", ri.n_mapped, ri.n_unmapped)
+        out += struct.pack("<i", len(ri.linear))
         prev = 0
         for w in ri.linear:
             if w == 0:

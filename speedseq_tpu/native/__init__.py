@@ -304,6 +304,29 @@ def gather_records(blob: np.ndarray, starts: np.ndarray, sizes: np.ndarray,
     return dst[:got]
 
 
+def bgzf_block_table(data: bytes):
+    """(coffsets, isizes) of every BGZF block in ``data`` — the
+    compressed↔uncompressed offset map (virtual-offset computation)."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    src = np.frombuffer(data, dtype=np.uint8)
+    max_blocks = max(1, len(data) // 64 + 16)
+    while True:
+        co = np.empty(max_blocks, dtype=np.int64)
+        bs = np.empty(max_blocks, dtype=np.int64)
+        iz = np.empty(max_blocks, dtype=np.int64)
+        n = lib.ssq_bgzf_scan(
+            _np_ptr(src, ctypes.c_uint8) if len(data) else _p8(), len(data),
+            _np_ptr(co, _i64), _np_ptr(bs, _i64), _np_ptr(iz, _i64),
+            max_blocks)
+        if n == -1:
+            raise ValueError("malformed BGZF input")
+        if n < -1:
+            max_blocks = -(n + 2)
+            continue
+        return co[:n].copy(), iz[:n].copy()
+
+
 def find_ztag(aux_blob: np.ndarray, aux_off: np.ndarray, tag: str):
     """Per-record (offset, length) span of a Z-type aux tag's value in
     aux_blob; offset -1 when absent.  Proper tag-list walk (no substring
