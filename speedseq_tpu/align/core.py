@@ -405,7 +405,10 @@ def _device_pair_select(
     # cross-process record equality (tests/test_multihost.py).  The
     # floor-divide integer form is bit-stable everywhere.
     mean_i = jnp.round(distro[0]).astype(jnp.int32)
-    std_i = jnp.maximum(jnp.round(distro[1]), 1).astype(jnp.int32)
+    # clamp keeps 100·std² inside int32 (overflow at std≥4634 would flip
+    # the floor-divide sign and inflate pair scores); at std≥4000 the
+    # z²-penalty is ≤1 for any |d|≤5000 anyway, so the clamp is lossless
+    std_i = jnp.clip(jnp.round(distro[1]), 1, 4000).astype(jnp.int32)
     high_i = jnp.round(distro[3]).astype(jnp.int32)
     pos1 = sc1.pos[:, :, None]
     pos2 = sc2.pos[:, None, :]

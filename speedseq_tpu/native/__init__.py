@@ -21,9 +21,26 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "csrc", "ssq_native.cc")
-_BUILD_DIR = os.path.join(_REPO_ROOT, "csrc", "build")
+# Source ships inside the package (package-data) so installed wheels keep
+# the native runtime; build cache lives next to it when writable, else in
+# the user cache dir (site-packages is often read-only).
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_PKG_DIR, "ssq_native.cc")
+
+
+def _build_dir() -> str:
+    cand = os.path.join(_PKG_DIR, "build")
+    try:
+        os.makedirs(cand, exist_ok=True)
+        probe = os.path.join(cand, f".w.{os.getpid()}")
+        with open(probe, "w"):
+            pass
+        os.unlink(probe)
+        return cand
+    except OSError:
+        cache = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+            os.path.expanduser("~"), ".cache")
+        return os.path.join(cache, "speedseq_tpu", "native")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -42,10 +59,11 @@ def _build() -> Optional[str]:
         return None
     with open(_SRC, "rb") as fh:
         digest = hashlib.sha256(fh.read()).hexdigest()[:16]
-    so = os.path.join(_BUILD_DIR, f"libssq_native-{digest}.so")
+    bdir = _build_dir()
+    so = os.path.join(bdir, f"libssq_native-{digest}.so")
     if os.path.exists(so):
         return so
-    os.makedirs(_BUILD_DIR, exist_ok=True)
+    os.makedirs(bdir, exist_ok=True)
     tmp = so + f".tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
@@ -266,12 +284,15 @@ def build_aux(nm, as_, xs, mq, rg_idx, rg_blob, rg_off, mc_blob, mc_off,
     lib = _load()
     assert lib is not None, "native library unavailable"
     n = len(nm)
+    # bound by the *maximum* RG string (the average under-allocates when
+    # a long RG ID dominates a mixed-RG batch, aborting the run with
+    # 'aux blob overflow'); RG blobs are tiny, so worst-case is free
+    max_rg = int(np.diff(np.asarray(rg_off)).max()) if len(rg_off) > 1 else 0
     cap = int(
         n * (3 * 7 + 4 + 4 + 7 + 2)
-        + int(rg_off[-1] - rg_off[0]) * n // max(len(rg_off) - 1, 1)
+        + n * (max_rg + 4)
         + int(mc_off[-1]) + int(extra_off[-1]) + 64
     )
-    # rg strings are short; bound generously instead of exactly
     cap += 64 * n
     dst = np.empty(cap, np.uint8)
     out_off = np.empty(n + 1, np.int64)

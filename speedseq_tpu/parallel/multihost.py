@@ -72,15 +72,32 @@ class FileExchange:
     is tiny (new dup signatures per batch)."""
 
     def __init__(self, root: str, num_processes: int, process_id: int,
-                 timeout: float = 300.0):
+                 timeout: float = 300.0, run_id: str = "run"):
         self.root = root
         self.P = num_processes
         self.pid = process_id
         self.timeout = timeout
+        # run_id scopes every filename: reusing an exchange_dir across
+        # runs can otherwise satisfy the allgather with stale payloads
+        # from the previous run (silently corrupting global dup marking).
+        # All processes of one run must pass the same run_id; a mismatch
+        # fails loudly with TimeoutError instead of reading stale data.
+        self.run_id = run_id
         os.makedirs(root, exist_ok=True)
+        # hygiene: drop this process's leftovers from any previous run
+        prefix = f"{run_id}."
+        for name in os.listdir(root):
+            if not name.startswith(prefix) and name.endswith(f".p{process_id}"):
+                try:
+                    os.unlink(os.path.join(root, name))
+                except OSError:
+                    pass
+
+    def _path(self, wave: int, pid: int) -> str:
+        return os.path.join(self.root, f"{self.run_id}.w{wave:06d}.p{pid}")
 
     def allgather(self, wave: int, payload: bytes) -> List[bytes]:
-        mine = os.path.join(self.root, f"w{wave:06d}.p{self.pid}")
+        mine = self._path(wave, self.pid)
         tmp = mine + ".tmp"
         with open(tmp, "wb") as fh:
             fh.write(struct.pack("<q", len(payload)))
@@ -89,7 +106,7 @@ class FileExchange:
         out: List[bytes] = []
         deadline = time.time() + self.timeout
         for p in range(self.P):
-            path = os.path.join(self.root, f"w{wave:06d}.p{p}")
+            path = self._path(wave, p)
             while True:
                 try:
                     with open(path, "rb") as fh:
@@ -162,15 +179,18 @@ def align_fastq_multihost(
     num_processes: int,
     process_id: int,
     exchange_dir: str,
+    run_id: str = "run",
 ) -> Optional[dict]:
     """One process's share of a multi-host align run.
 
     Every process calls this with its process_id; process 0 returns the
-    final merged output paths, others return None."""
+    final merged output paths, others return None.  ``run_id`` must be
+    identical across processes of one run and fresh per run (it scopes
+    the exchange files; see FileExchange)."""
     from ..align.pipeline import align_stream
     from ..formats import fastq
 
-    ex = FileExchange(exchange_dir, num_processes, process_id)
+    ex = FileExchange(exchange_dir, num_processes, process_id, run_id=run_id)
     marker = WaveSyncDupMarker(ex)
     batches = list(fastq.iter_batches(
         fq1, batch_size=config.batch_size, max_len=config.max_read_len,
@@ -224,7 +244,7 @@ def _worker_main(argv: List[str]) -> int:
 
         jax.config.update("jax_platforms", "cpu")
     (reference, fq1, fq2, out_prefix, num_p, pid, exdir, batch_size,
-     insert) = argv
+     insert), run_id = argv[:9], (argv[9] if len(argv) > 9 else "run")
     from ..align.pipeline import AlignConfig
 
     m, s, mx, mn = (float(x) for x in insert.split(","))
@@ -235,7 +255,7 @@ def _worker_main(argv: List[str]) -> int:
     init_distributed(num_processes=int(num_p), process_id=int(pid))
     outs = align_fastq_multihost(
         reference, fq1, fq2 or None, out_prefix, cfg,
-        int(num_p), int(pid), exdir,
+        int(num_p), int(pid), exdir, run_id=run_id,
     )
     if outs is not None:
         print(json.dumps(outs))

@@ -53,28 +53,41 @@ class InsertStats:
         if native.available():
             import struct as _struct
 
+            # bulk-chunk ingestion: 4 MiB decompressed spans per read
+            # (block-sized copies inside BGZFReader.read), one native
+            # columnar decode per chunk, until n_sample qualifying
+            # tlen>0 records are collected or EOF — the same
+            # termination condition as the per-record fallback below.
+            excl = FUNMAP | FMUNMAP | FSECONDARY | FSUPPLEMENTARY | FDUP
+            tl_parts: List[np.ndarray] = []
+            count = 0
             with BAMReader(bam_path) as rd:
-                parts = []
-                # 4× oversample: not every record has tlen > 0
-                for _ in range(4 * n_sample):
-                    got = rd.read_raw()
-                    if got is None:
+                buf = b""
+                while count < n_sample:
+                    more = rd._r.read(1 << 22)
+                    buf += more
+                    # longest whole-record prefix (records can straddle
+                    # chunk boundaries; the tail carries over)
+                    off, nb = 0, len(buf)
+                    while off + 4 <= nb:
+                        (bs,) = _struct.unpack_from("<i", buf, off)
+                        if off + 4 + bs > nb:
+                            break
+                        off += 4 + bs
+                    if off:
+                        cols = native.bam_decode(buf[:off])
+                        buf = buf[off:]
+                        flags = cols.flag.astype(np.int64)
+                        keep = ((flags & excl) == 0) & (cols.tlen > 0)
+                        tl_parts.append(cols.tlen[keep])
+                        count += int(keep.sum())
+                        slen = np.diff(cols.seq_off)[keep]
+                        if len(slen):
+                            rlen = max(rlen, int(slen.max()))
+                    if not more:
                         break
-                    parts.append(_struct.pack("<I", len(got[0])))
-                    parts.append(got[0])
-            if parts:
-                cols = native.bam_decode(b"".join(parts))
-                flags = cols.flag.astype(np.int64)
-                keep = (
-                    ((flags & (FUNMAP | FMUNMAP | FSECONDARY
-                               | FSUPPLEMENTARY | FDUP)) == 0)
-                    & (cols.tlen > 0)
-                )
-                tl = cols.tlen[keep][:n_sample]
-                isizes = tl.tolist()
-                slen = np.diff(cols.seq_off)[keep][:n_sample]
-                if len(slen):
-                    rlen = max(rlen, int(slen.max()))
+            if tl_parts:
+                isizes = np.concatenate(tl_parts)[:n_sample].tolist()
         else:
             with BAMReader(bam_path) as rd:
                 for rec in rd:
