@@ -22,6 +22,11 @@ CPU_CORE_READS_PER_S = 5000.0  # bwa mem, 100bp reads, 1 core [ext]
 # ~35-70 kbp/s; we pin the midpoint [external knowledge; the reference
 # repo publishes no numbers — BASELINE.md]
 CPU_CORE_VAR_KBP_PER_S = 50.0
+# lumpyexpress + per-sample svtyper on one core over 30X WGS is ~5-7 h
+# for 3.1 Gbp (insert-distro sampling + evidence clustering + breakpoint
+# genotyping) → ~125-170 kbp/s; midpoint pinned [external knowledge;
+# BASELINE.md].  Reference hot loop: bin/speedseq:1473-1505.
+CPU_CORE_SV_KBP_PER_S = 150.0
 
 
 def main():
@@ -126,6 +131,37 @@ def main():
             config=VarConfig())
     var_kbp_per_s = slice_bp / (time.perf_counter() - t0) / 1000.0
 
+    # ---- sv: BAM triple → genotyped sv.vcf.gz over the slice -----------
+    # planted DEL/INV/DUP so clustering + SVTyper genotyping do real
+    # work; device engine (sv/device.py) warm-timed like var
+    from speedseq_tpu.sv import run_sv, SVConfig
+    from speedseq_tpu.sv.engine import SVSample
+
+    DELp, DELl, INVp, INVl, DUPp, DUPl = (
+        60_000, 4_000, 150_000, 3_000, 240_000, 2_500)
+    mutant = np.concatenate([
+        genome[:DELp],
+        genome[DELp + DELl:INVp],
+        3 - genome[INVp:INVp + INVl][::-1],
+        genome[INVp + INVl:DUPp + DUPl],
+        genome[DUPp:DUPp + DUPl],
+        genome[DUPp + DUPl:],
+    ])
+    nsv = int(30 * len(mutant) / 200)
+    names, s1m, q1m, s2m, q2m, _ = simulate_pairs(
+        mutant, nsv, read_len=L, seed=2)
+    to_fastq(os.path.join(d, "m1.fq"), os.path.join(d, "m2.fq"),
+             names, s1m, q1m, s2m, q2m)
+    svouts = align_fastq(
+        ref, os.path.join(d, "m1.fq"), os.path.join(d, "m2.fq"),
+        out_prefix=os.path.join(d, "svin"), config=cfg)
+    sample = SVSample("S1", svouts["bam"], svouts["splitters.bam"],
+                      svouts["discordants.bam"])
+    run_sv([sample], os.path.join(d, "warm.sv.vcf.gz"), SVConfig())
+    t0 = time.perf_counter()
+    run_sv([sample], os.path.join(d, "e2e.sv.vcf.gz"), SVConfig())
+    sv_kbp_per_s = slice_bp / (time.perf_counter() - t0) / 1000.0
+
     print(
         json.dumps(
             {
@@ -139,6 +175,9 @@ def main():
                 "var_kbp_per_s": round(var_kbp_per_s, 1),
                 "var_vs_baseline": round(
                     var_kbp_per_s / CPU_CORE_VAR_KBP_PER_S, 3),
+                "sv_kbp_per_s": round(sv_kbp_per_s, 1),
+                "sv_vs_baseline": round(
+                    sv_kbp_per_s / CPU_CORE_SV_KBP_PER_S, 3),
             }
         )
     )

@@ -82,6 +82,107 @@ def cluster_breakpoints(
     min_weight: int = 4,      # lumpy -m (bin/speedseq:1242)
     trim: float = 0.0,        # lumpy -r (bin/speedseq:1243)
 ) -> List[SVCall]:
+    """Evidence → SV calls.  The sweep + curve combination run on the
+    device (sv/device.py: lax.scan cluster ids, segment-sum log-product
+    curves) when JAX is available; this host implementation is the
+    fallback and the semantic reference the device path is tested
+    against (SSQ_SV_HOST=1 forces it)."""
+    from . import device as _dev
+
+    if evidence and _dev.device_enabled():
+        return _cluster_breakpoints_device(evidence, min_weight, trim)
+    return _cluster_breakpoints_host(evidence, min_weight, trim)
+
+
+def _cluster_breakpoints_device(
+    evidence: List[Breakpoint], min_weight: int, trim: float,
+) -> List[SVCall]:
+    """Device twin of the host sweep below: identical cluster membership
+    (same sorted order, same 2-D overlap carry), identical weight
+    filters; curve products in f32 on the device."""
+    from . import device as _dev
+
+    n = len(evidence)
+    keys = [(b.svtype, b.tid1, b.tid2, b.strand1, b.strand2)
+            for b in evidence]
+    uniq = sorted(set(keys))
+    kidx = {k: i for i, k in enumerate(uniq)}
+    gid = np.fromiter((kidx[k] for k in keys), np.int32, n)
+    start1 = np.fromiter((b.start1 for b in evidence), np.int64, n)
+    start2 = np.fromiter((b.start2 for b in evidence), np.int64, n)
+    len1 = np.fromiter((len(b.prob1) for b in evidence), np.int64, n)
+    len2 = np.fromiter((len(b.prob2) for b in evidence), np.int64, n)
+    order = np.lexsort((start2, start1, gid))
+    ev = [evidence[i] for i in order]
+    gid, start1, start2, len1, len2 = (
+        a[order] for a in (gid, start1, start2, len1, len2))
+    Dmax = int(max(len1.max(), len2.max()))
+    curves1 = np.zeros((n, Dmax), np.float32)
+    curves2 = np.zeros((n, Dmax), np.float32)
+    for i, b in enumerate(ev):
+        curves1[i, : len(b.prob1)] = b.prob1
+        curves2[i, : len(b.prob2)] = b.prob2
+
+    cc = _dev.cluster_and_combine(
+        gid, start1, len1, curves1, start2, len2, curves2, trim)
+    cids, C = cc.cids, cc.n_clusters
+
+    weight = np.fromiter((b.weight for b in ev), np.int64, n)
+    sample = np.fromiter((b.sample for b in ev), np.int64, n)
+    split = np.fromiter((b.is_split for b in ev), np.int64, n)
+    w_tot = np.zeros(C, np.int64)
+    sr_tot = np.zeros(C, np.int64)
+    np.add.at(w_tot, cids, weight)
+    np.add.at(sr_tot, cids, weight * split)
+    M = int(sample.max()) + 1 if n else 1
+    per_sample = np.zeros((C, M), np.int64)
+    np.add.at(per_sample, (cids, sample), weight)
+    first = np.full(C, n, np.int64)
+    np.minimum.at(first, cids, np.arange(n))
+
+    calls: List[SVCall] = []
+    for c in range(C):
+        if per_sample[c].max() < min_weight:
+            continue
+        b0 = ev[int(first[c])]
+        svtype = b0.svtype
+        pos1, pos2 = int(cc.pos[0][c]), int(cc.pos[1][c])
+        ci1 = tuple(int(x) for x in cc.ci[0][c])
+        ci2 = tuple(int(x) for x in cc.ci[1][c])
+        ci195 = tuple(int(x) for x in cc.ci95[0][c])
+        ci295 = tuple(int(x) for x in cc.ci95[1][c])
+        nz1a, nz1b = (int(x) for x in cc.nz[0][c])
+        nz2a, nz2b = (int(x) for x in cc.nz[1][c])
+        pr1 = cc.prob[0][c, nz1a : nz1b + 1].astype(np.float64)
+        pr2 = cc.prob[1][c, nz2a : nz2b + 1].astype(np.float64)
+        pr1 = pr1 / max(pr1.sum(), 1e-30)
+        pr2 = pr2 / max(pr2.sum(), 1e-30)
+        if svtype != BND and pos2 < pos1:
+            pos1, pos2 = pos2, pos1
+            ci1, ci2 = ci2, ci1
+            ci195, ci295 = ci295, ci195
+            pr1, pr2 = pr2, pr1
+        w = int(w_tot[c])
+        sr = int(sr_tot[c])
+        ss = {int(s): int(per_sample[c, s])
+              for s in np.nonzero(per_sample[c])[0]}
+        calls.append(SVCall(
+            svtype=svtype, tid1=b0.tid1, pos1=pos1, strand1=b0.strand1,
+            cipos=ci1, cipos95=ci195, prpos=pr1,
+            tid2=b0.tid2, pos2=pos2, strand2=b0.strand2,
+            ciend=ci2, ciend95=ci295, prend=pr2,
+            su=w, pe=w - sr, sr=sr, sample_support=ss,
+            imprecise=(sr == 0),
+        ))
+    calls.sort(key=lambda c: (c.tid1, c.pos1, c.tid2, c.pos2))
+    return calls
+
+
+def _cluster_breakpoints_host(
+    evidence: List[Breakpoint],
+    min_weight: int = 4,
+    trim: float = 0.0,
+) -> List[SVCall]:
     groups: Dict[Tuple, List[Breakpoint]] = {}
     for bp in evidence:
         groups.setdefault(

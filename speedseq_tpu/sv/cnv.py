@@ -6,10 +6,13 @@ Reference contract (bin/cnvnator_wrapper.py:75-235, bin/annotate_rd.py):
 returning normalized copy number for arbitrary intervals (annotate_rd.py:
 294-296 uses it to add a CN FORMAT field to the SV VCF).
 
-[external knowledge: Abyzov et al. 2011 for the algorithm]; this
-implementation bins counts in numpy, GC-corrects per 1% GC stratum, and
-partitions with an iterative neighborhood-smoothing pass in the
-mean-shift spirit; ROOT files are replaced by arrays.
+[external knowledge: Abyzov et al. 2011 for the algorithm].  Device path
+(sv/device.py, used when JAX is available): read binning as one global
+segment_sum, GC-stratum correction as segmented reductions, and an
+actual iterative mean-shift partitioner with depth-dependent signal
+bandwidth.  Host fallback bins in numpy and partitions with a simpler
+neighborhood-smoothing pass; ROOT files are replaced by arrays either
+way.
 """
 
 from __future__ import annotations
@@ -71,11 +74,26 @@ class DepthProfile:
             mid = (cols.pos[keep].astype(np.int64)
                    + end_positions(cols)[keep]) // 2
             b = mid // bin_size
-            for t in np.unique(tid):
-                arr = counts[names[int(t)]]
-                bt = b[tid == t]
-                bt = bt[(bt >= 0) & (bt < len(arr))]
-                np.add.at(arr, bt, 1)
+            from . import device as dev
+
+            nb_per = np.array([len(counts[n]) for n in names], np.int64)
+            if dev.device_enabled() and len(tid):
+                # one global scatter-add on the device (-his equivalent)
+                offs = np.concatenate([[0], np.cumsum(nb_per)])
+                gb = offs[tid] + b
+                ok = (b >= 0) & (b < nb_per[tid])
+                total = int(offs[-1])
+                flat = np.asarray(dev._depth_bins_jit(
+                    np.where(ok, gb, total).astype(np.int32),
+                    n_bins=total + 1))[:total]
+                for i, n in enumerate(names):
+                    counts[n] = flat[offs[i]:offs[i + 1]].astype(np.float64)
+            else:
+                for t in np.unique(tid):
+                    arr = counts[names[int(t)]]
+                    bt = b[tid == t]
+                    bt = bt[(bt >= 0) & (bt < len(arr))]
+                    np.add.at(arr, bt, 1)
         else:
             with BAMReader(bam_path) as rd:
                 refs = rd.header.refs
@@ -110,18 +128,34 @@ class DepthProfile:
         allc = np.concatenate([counts[n] for n in names])
         allgc = np.concatenate([gc_of[n] for n in names])
         used = allgc >= 0
-        mean = float(allc[used].mean()) if used.any() else 0.0
-        # per-GC-stratum means
         strata = np.clip((allgc * 100).astype(int), 0, 100)
-        corr_factor = np.ones(101)
-        for s in range(101):
-            m_ = allc[used & (strata == s)]
-            if len(m_) >= 20 and m_.mean() > 0:
-                corr_factor[s] = mean / m_.mean()
-        corrected = {}
-        for n in names:
-            s = np.clip((gc_of[n] * 100).astype(int), 0, 100)
-            corrected[n] = counts[n] * corr_factor[s] * (gc_of[n] >= 0)
+        from . import device as dev
+
+        if dev.device_enabled() and len(allc):
+            # segmented stratum reductions on the device (-stat + GC
+            # correction in one program)
+            corr_flat, mean_d = dev._gc_correct_jit(
+                allc.astype(np.float32), strata.astype(np.int32), used)
+            corr_flat = np.asarray(corr_flat, np.float64)
+            mean = float(mean_d)
+            corrected = {}
+            off = 0
+            for n in names:
+                ln = len(counts[n])
+                corrected[n] = corr_flat[off:off + ln]
+                off += ln
+        else:
+            mean = float(allc[used].mean()) if used.any() else 0.0
+            # per-GC-stratum means
+            corr_factor = np.ones(101)
+            for s in range(101):
+                m_ = allc[used & (strata == s)]
+                if len(m_) >= 20 and m_.mean() > 0:
+                    corr_factor[s] = mean / m_.mean()
+            corrected = {}
+            for n in names:
+                s = np.clip((gc_of[n] * 100).astype(int), 0, 100)
+                corrected[n] = counts[n] * corr_factor[s] * (gc_of[n] >= 0)
         fa.close()
         return cls(
             bin_size=bin_size, chroms=names, counts=counts,
@@ -130,11 +164,19 @@ class DepthProfile:
 
     # ---- partition (-partition equivalent) ------------------------------
     def partition(self, chrom: str) -> np.ndarray:
-        """Iterative neighborhood smoothing (mean-shift spirit): each pass
-        replaces a bin by the mean of nearby bins with similar depth."""
+        """Mean-shift partition (CNVnator -partition,
+        bin/cnvnator_wrapper.py:128-135): on the device, the actual
+        iterative mean-shift with depth-dependent signal bandwidth
+        (sv/device.mean_shift_partition) — abrupt CNV boundaries stay
+        sharp because the signal kernel decouples dissimilar depths.
+        Host fallback: neighborhood similarity smoothing."""
+        from . import device as dev
+
         x = self.corrected[chrom].copy()
         if len(x) == 0:
             return x
+        if dev.device_enabled():
+            return dev.mean_shift_partition(x, self.mean)
         sigma = max(np.sqrt(self.mean), 1.0)
         for h in (2, 4, 8, 16):
             k = 2 * h + 1

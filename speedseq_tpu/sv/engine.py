@@ -304,7 +304,9 @@ def run_sv(
         g = genotypers[si]
         if g is None:
             return [None] * len(calls)
-        return [g.genotype(c) for c in calls]
+        # batched device genotyping (one fused program over all calls);
+        # falls back to the per-call path without native/JAX
+        return g.genotype_all(calls)
 
     if cfg.threads > 1 and len(samples) > 1:
         from concurrent.futures import ThreadPoolExecutor

@@ -63,3 +63,46 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_svtyper_matches_single_device():
+    """The fused SVTyper program shard_mapped over the call axis must
+    equal the unsharded program (sv/device.py)."""
+    import numpy as np
+
+    from speedseq_tpu.parallel.mesh import make_mesh
+    from speedseq_tpu.sv import device as dev
+
+    rng = np.random.default_rng(9)
+    n = 500
+    pos = np.sort(rng.integers(0, 50_000, n)).astype(np.int32)
+    rlen = rng.integers(80, 120, n)
+    cols = (
+        pos, (pos + rlen).astype(np.int32),                 # pos, end
+        np.zeros(n, np.int32),                              # tid
+        np.zeros(n, np.int32),                              # mtid
+        (pos + rng.integers(100, 500, n)).astype(np.int32),  # mpos
+        (pos + rng.integers(200, 700, n)).astype(np.int32),  # mend
+        rng.random(n) < 0.95,                               # base
+        rng.random(n) < 0.2, rng.random(n) < 0.2,           # cl, cr
+        rng.random(n) < 0.15,                               # sa
+        rng.random(n) < 0.5, rng.random(n) < 0.5,           # rev1, rev2
+        rng.random(n) < 0.7,                                # proper
+        rng.random(n) < 0.9,                                # mateok
+    )
+    C, R = 13, 64
+    svcode = rng.integers(0, 4, C).astype(np.int32)
+    p1 = rng.integers(1000, 40_000, C).astype(np.int32)
+    p2 = (p1 + rng.integers(500, 5000, C)).astype(np.int32)
+    calls = (svcode, np.zeros(C, np.int32), p1, np.zeros(C, np.int32), p2,
+             rng.integers(0, 2, C).astype(np.int32),
+             rng.integers(0, 2, C).astype(np.int32))
+    idx = rng.integers(0, n, (C, 2, R)).astype(np.int32)
+    valid = rng.random((C, 2, R)) < 0.8
+    scalars = (6, 400, 200, 400)
+    out0 = dev.svtyper_batch_device(idx, valid, cols, calls, scalars,
+                                    mesh=None)
+    out8 = dev.svtyper_batch_device(idx, valid, cols, calls, scalars,
+                                    mesh=make_mesh(8))
+    for a, b in zip(out0, out8):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -328,3 +328,127 @@ def test_sv_columnar_speedup(sv_run, monkeypatch):
     print(f"\n[sv timing] columnar {t_col:.3f}s vs per-record {t_rec:.3f}s "
           f"({t_rec / max(t_col, 1e-9):.1f}x)")
     assert t_col < t_rec / 3, (t_col, t_rec)
+
+
+# ---------------------------------------------------------------------------
+# device SV engine (sv/device.py) — round-4 equivalence + mean-shift tests
+# ---------------------------------------------------------------------------
+
+def _random_evidence(rng, n, n_samples=2, n_tids=2):
+    types = [DEL, DUP, INV, BND]
+    out = []
+    for _ in range(n):
+        svtype = types[int(rng.integers(0, 4))]
+        tid1 = int(rng.integers(0, n_tids))
+        tid2 = tid1 if svtype != BND else int(rng.integers(0, n_tids))
+        d1 = int(rng.integers(5, 40))
+        d2 = int(rng.integers(5, 40))
+        p1 = rng.uniform(0.05, 1.0, d1)
+        p2 = rng.uniform(0.05, 1.0, d2)
+        base = int(rng.integers(0, 4000))
+        out.append(Breakpoint(
+            svtype=svtype, tid1=tid1, strand1=int(rng.integers(0, 2)),
+            start1=base + int(rng.integers(0, 60)), prob1=p1 / p1.sum(),
+            tid2=tid2, strand2=int(rng.integers(0, 2)),
+            start2=base + 500 + int(rng.integers(0, 60)),
+            prob2=p2 / p2.sum(),
+            weight=1, sample=int(rng.integers(0, n_samples)),
+            is_split=bool(rng.integers(0, 2)),
+        ))
+    return out
+
+
+def test_device_cluster_matches_host(monkeypatch):
+    """Device sweep + curve combination must reproduce the host
+    implementation call-for-call (positions/CIs exact on tie-free random
+    curves; CI95 may only widen by threshold ties)."""
+    rng = np.random.default_rng(11)
+    ev = _random_evidence(rng, 200)
+    dev_calls = cluster_breakpoints(ev, min_weight=2)
+    monkeypatch.setenv("SSQ_SV_HOST", "1")
+    host_calls = cluster_breakpoints(ev, min_weight=2)
+    monkeypatch.delenv("SSQ_SV_HOST")
+    assert len(dev_calls) == len(host_calls)
+    for a, b in zip(dev_calls, host_calls):
+        assert (a.svtype, a.tid1, a.strand1, a.tid2, a.strand2) == (
+            b.svtype, b.tid1, b.strand1, b.tid2, b.strand2)
+        assert a.pos1 == b.pos1 and a.pos2 == b.pos2
+        assert a.cipos == b.cipos and a.ciend == b.ciend
+        # CI95: equal, or wider only by ties at the mass threshold
+        assert a.cipos95[0] <= b.cipos95[0] and a.cipos95[1] >= b.cipos95[1]
+        assert (a.su, a.pe, a.sr) == (b.su, b.pe, b.sr)
+        assert a.sample_support == b.sample_support
+        assert a.imprecise == b.imprecise
+        assert len(a.prpos) == len(b.prpos)
+        assert np.allclose(a.prpos, b.prpos, atol=2e-5)
+        assert np.allclose(a.prend, b.prend, atol=2e-5)
+
+
+def test_device_cluster_trim(monkeypatch):
+    """lumpy -r trim semantics hold on the device path too."""
+    rng = np.random.default_rng(5)
+    ev = _random_evidence(rng, 60)
+    dev_calls = cluster_breakpoints(ev, min_weight=1, trim=0.01)
+    monkeypatch.setenv("SSQ_SV_HOST", "1")
+    host_calls = cluster_breakpoints(ev, min_weight=1, trim=0.01)
+    monkeypatch.delenv("SSQ_SV_HOST")
+    assert len(dev_calls) == len(host_calls)
+    for a, b in zip(dev_calls, host_calls):
+        assert a.pos1 == b.pos1 and a.cipos == b.cipos
+
+
+def test_device_svtyper_matches_columnar(sv_run):
+    """The fused batch genotyper (one decode + one device program) must
+    produce integer-identical counts and genotypes to the per-call
+    columnar path."""
+    from speedseq_tpu import native
+    from speedseq_tpu.sv.svtyper import SVGenotyper
+    from speedseq_tpu.sv.evidence import collect_evidence
+
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    d, out, truth = sv_run
+    full = str(d / "s.bam")
+    spl = str(d / "s.splitters.bam")
+    disc = str(d / "s.discordants.bam")
+    stats = InsertStats.from_bam(full)
+    ev = collect_evidence([disc], [spl], [stats])
+    calls = cluster_breakpoints(ev, min_weight=4)
+    assert calls
+    g = SVGenotyper(full, spl, stats)
+    batch = g.genotype_all(calls)
+    percall = [g.genotype(c) for c in calls]
+    g.close()
+    for a, b in zip(batch, percall):
+        assert (a.dp, a.ro, a.ao, a.rs, a.as_, a.rp, a.ap) == (
+            b.dp, b.ro, b.ao, b.rs, b.as_, b.rp, b.ap)
+        assert a.gt == b.gt
+        assert abs(a.gq - b.gq) <= 1          # f32 vs f64 rounding
+        assert abs(a.sq - b.sq) <= 0.05
+        assert a.ab == b.ab
+
+
+def test_mean_shift_keeps_abrupt_boundary():
+    """CNVnator-model mean-shift partition (VERDICT r3 item 6): an
+    abrupt heterozygous-deletion edge must stay bin-exact, where plain
+    neighborhood smoothing blurs it."""
+    from speedseq_tpu.sv.cnv import DepthProfile
+
+    rng = np.random.default_rng(7)
+    mean = 100.0
+    n = 400
+    depth = np.full(n, mean)
+    depth[150:250] = 50.0                      # CN=1 segment
+    noisy = rng.poisson(depth).astype(np.float64)
+    prof = DepthProfile(
+        bin_size=100, chroms=["c"], counts={"c": noisy},
+        corrected={"c": noisy}, mean=mean)
+    part = prof.partition("c")
+    # segment means on either side of the edge, boundaries bin-exact
+    assert abs(part[149] - part[100]) < 1e-6   # same segment left
+    assert abs(part[150] - part[200]) < 1e-6   # same segment right
+    assert part[149] - part[150] > 30          # sharp drop at the edge
+    calls = prof.call("c")
+    dels = [c for c in calls if c.kind == "deletion"]
+    assert len(dels) == 1
+    assert dels[0].start == 150 * 100 and dels[0].end == 250 * 100
