@@ -650,9 +650,27 @@ def _finish_hap_locus(
     srt = np.sort(sc, axis=1)
     margin = (srt[:, -1] - srt[:, -2]).astype(np.float64)
     vote = np.where(margin >= 1, best, -1)           # ties are ambiguous
-    # score margin → phred-ish observation quality: one discriminating
-    # base is ~(match+mismatch)=5 score units ≈ one Q30 observation
-    hap_qual = np.clip(6.0 * margin, 3.0, 40.0).astype(np.float32)
+    # observation quality: freebayes-style haplotype observation quality
+    # — the minimum base quality across the locus's discriminating SNP
+    # columns the read covers [external knowledge: freebayes assigns a
+    # haplotype observation the min base quality of its allele window].
+    # This makes haplotype-locus GLs reduce to the SAME closed-form
+    # diploid model as the biallelic SNV fixture (anchored by the MNP
+    # and indel+SNP fixtures in tests/test_var.py).  Reads that
+    # discriminate only through alignment structure (pure-indel groups,
+    # or no SNP-column coverage) fall back to the score-margin estimate:
+    # one discriminating base ≈ match+mismatch = 5 score units at ~Q30.
+    margin_qual = np.clip(6.0 * margin, 3.0, 41.0)
+    if job.snp_offs:
+        qcols = np.stack([p.col(o)[1] for o in job.snp_offs], axis=1)
+        qr = qcols[job.read_idx].astype(np.float64)      # (nr, K)
+        qr = np.where(qr > 0, qr, 1e9)
+        minq = qr.min(axis=1)
+        hap_qual = np.where(
+            minq < 1e9, np.clip(minq, 3.0, 41.0), margin_qual
+        ).astype(np.float32)
+    else:
+        hap_qual = margin_qual.astype(np.float32)
 
     covering = vote >= 0
     passing: List[int] = []
@@ -789,12 +807,21 @@ def call_window(
     n_alts = np.array([len(l.alts) for l in loci], np.int32)
     rpos = np.stack([p.col(l.anchor)[2] for l in loci])    # (S, R)
 
-    from .device import genotype_sites
+    from .device import genotype_sites, pooled_joint_genotypes
 
     g = genotype_sites(
         obs, quals, sample_of_read, rpos, strand_of_read, rlen_half,
         n_alts, cfg.theta, n_samples, mesh=mesh,
     )
+    # pooled-discrete somatic mode: freebayes evaluates the DISCRETE
+    # JOINT genotype space over [normal, tumor]
+    # (/root/reference/bin/speedseq:1059-1067), not independent
+    # per-sample argmaxes — GT/GQ/QUAL come from the joint posterior
+    # with the ESF combination prior; per-sample GLs are unchanged
+    # (the SSC filter consumes those marginals)
+    joint = None
+    if cfg.pooled_discrete and n_samples == 2:
+        joint = pooled_joint_genotypes(g.gl, cfg.theta)
 
     out: List[SiteCall] = []
     for s, l in enumerate(loci):
@@ -802,7 +829,11 @@ def call_window(
         alt_any = (obs[s] >= 1) & (obs[s] <= A)
         if not alt_any.any():
             continue
-        best_pairs = np.array([_GT_PAIRS[int(gi)] for gi in g.gt_idx[s]])
+        if joint is not None:
+            best_pairs = np.array([
+                _GT_PAIRS[int(joint.gn[s])], _GT_PAIRS[int(joint.gt[s])]])
+        else:
+            best_pairs = np.array([_GT_PAIRS[int(gi)] for gi in g.gt_idx[s]])
         if not cfg.pooled_discrete and not (best_pairs > 0).any():
             # freebayes emits only polymorphic loci; pooled-discrete mode
             # keeps hom-ref records so the SSC filter sees marginal GLs
@@ -814,11 +845,13 @@ def call_window(
             SiteCall(
                 offset=l.offset, ref=l.ref, alts=list(l.alts),
                 types=list(types), lengths=list(lens),
-                gt=best_pairs, gq=g.gq[s],
+                gt=best_pairs,
+                gq=(joint.gq[s] if joint is not None else g.gq[s]),
                 gl=g.gl[s][:, keep_g].astype(np.float64),
                 dp=g.dp[s], ro=g.ro[s], ao=g.ao[s, :, :A],
                 qr=g.qr[s], qa=g.qa[s, :, :A],
-                qual=float(max(0.0, g.qual[s])),
+                qual=float(max(0.0, (joint.qual[s] if joint is not None
+                                     else g.qual[s]))),
                 rpl=g.rpl[s, :A], rpr=g.rpr[s, :A],
                 saf=g.saf[s, :A], sar=g.sar[s, :A],
             )

@@ -199,6 +199,95 @@ def genotype_sites(
     )
 
 
+# ---------------------------------------------------------------------------
+# pooled-discrete joint genotyping (somatic [normal, tumor])
+# ---------------------------------------------------------------------------
+
+class JointGenotypes(NamedTuple):
+    gn: np.ndarray     # (S,) best normal genotype index (joint argmax)
+    gt: np.ndarray     # (S,) best tumor genotype index
+    gq: np.ndarray     # (S, 2) marginal genotype qualities
+    qual: np.ndarray   # (S,) phred P(polymorphic) under the joint model
+
+
+@functools.lru_cache(maxsize=8)
+def _esf_log_prior_table(theta: float) -> np.ndarray:
+    """(G, G) log10 prior over [normal, tumor] genotype combinations
+    from the Ewens sampling formula on the pooled allele partition of
+    the 4 chromosomes [external knowledge: freebayes models
+    genotype-combination priors with the ESF; contract
+    /root/reference/bin/speedseq:1059-1067 --pooled-discrete].
+
+    For a combination whose pooled allele multiplicities are c_j with
+    a_k = #{j : c_j = k}:  log10 P = Σ_j (log10 θ − log10 c_j)
+    − Σ_k log10 a_k!  (the configuration-independent n!/θ_(n) factor
+    cancels in argmax and normalization).  Unlike the factorized
+    per-sample prior, this couples the samples: a shared alt allele
+    (one allele, count 2) is favored over two distinct singleton alts
+    (two θ factors)."""
+    import math
+    from collections import Counter
+
+    G = N_GT
+    lt = math.log10(theta)
+    lp = np.zeros((G, G))
+    for gn_i in range(G):
+        for gt_i in range(G):
+            cnt = Counter(list(GT_PAIRS[gn_i]) + list(GT_PAIRS[gt_i]))
+            mult = Counter(cnt.values())
+            v = sum(lt - math.log10(c) for c in cnt.values())
+            v -= sum(math.log10(math.factorial(a)) for a in mult.values())
+            lp[gn_i, gt_i] = v
+    return lp.astype(np.float32)
+
+
+@jax.jit
+def _pooled_joint_jit(gl, lp):
+    """Joint discrete genotype combination over [normal, tumor].
+
+    gl: (S, 2, G) max-normalized log10 per-sample GLs (invalid genotype
+    slots ≈ -1e9); lp: (G, G) log10 combination prior.  Evaluates the
+    full G×G joint posterior — the discrete space freebayes
+    --pooled-discrete searches — instead of independent per-sample
+    argmaxes."""
+    S, _, G = gl.shape
+    jl = gl[:, 0, :, None] + gl[:, 1, None, :] + lp[None]    # (S, G, G)
+    flat = jl.reshape(S, G * G)
+    best = jnp.argmax(flat, axis=1)
+    gn = (best // G).astype(jnp.int32)
+    gt = (best % G).astype(jnp.int32)
+    m = jnp.max(flat, axis=1)
+    logz = m + jnp.log10(jnp.sum(jnp.power(10.0, flat - m[:, None]), axis=1))
+
+    def log10sumexp(x, axis):
+        mm = jnp.max(x, axis=axis)
+        return mm + jnp.log10(jnp.sum(
+            jnp.power(10.0, x - jnp.expand_dims(mm, axis)), axis=axis))
+
+    marg_n = log10sumexp(jl, 2)                              # (S, G)
+    marg_t = log10sumexp(jl, 1)
+
+    def gq_of(marg):
+        top2, _ = jax.lax.top_k(marg, 2)
+        return jnp.minimum(
+            99, jnp.round(10.0 * (top2[..., 0] - top2[..., 1]))
+        ).astype(jnp.int32)
+
+    gq = jnp.stack([gq_of(marg_n), gq_of(marg_t)], axis=1)   # (S, 2)
+    qual = jnp.minimum(1e5, -10.0 * (jl[:, 0, 0] - logz))
+    return gn, gt, gq, qual
+
+
+def pooled_joint_genotypes(gl: np.ndarray, theta: float) -> JointGenotypes:
+    """Host wrapper over the joint kernel (S can be any size — the joint
+    space is tiny, G² = 100)."""
+    lp = jnp.asarray(_esf_log_prior_table(float(theta)))
+    gn, gt, gq, qual = _pooled_joint_jit(jnp.asarray(gl, jnp.float32), lp)
+    return JointGenotypes(
+        gn=np.asarray(gn), gt=np.asarray(gt),
+        gq=np.asarray(gq), qual=np.asarray(qual))
+
+
 def _genotype_sites_sharded(mesh, args, n_samples: int):
     """shard_map over the site axis: sites to shards, reads replicated
     (the genomic-window fan-out of bin/speedseq:719 mapped onto the mesh;

@@ -599,3 +599,220 @@ def test_freebayes_numeric_fixture():
     # surface counts
     assert int(c.dp[0]) == 8 and int(c.ro[0]) == 5 and int(c.ao[0, 0]) == 3
     assert int(c.qr[0]) == 150 and int(c.qa[0, 0]) == 90
+
+
+def test_pooled_joint_prior_couples_samples():
+    """The ESF combination prior makes the joint argmax differ from
+    independent per-sample argmaxes: a marginal 0/1 preference in the
+    normal (ΔGL 0.5) is overruled by the shared-partition prior when the
+    tumor is confidently hom-ref (VERDICT r3 item 3)."""
+    import math
+
+    from speedseq_tpu.var.caller_space import GT_PAIRS, N_GT
+    from speedseq_tpu.var.device import (
+        _esf_log_prior_table, pooled_joint_genotypes,
+    )
+
+    th = 0.001
+    lp = _esf_log_prior_table(th)
+    # hand-check two partitions: (0/0, 0/0) = {ref×4} → θ/4;
+    # (0/1, 0/0) = {ref×3, alt×1} → (θ/3)·(θ/1)
+    want_rrrr = math.log10(th) - math.log10(4)
+    want_het = (math.log10(th) - math.log10(3)) + math.log10(th)
+    i00 = GT_PAIRS.index((0, 0))
+    i01 = GT_PAIRS.index((0, 1))
+    assert np.isclose(lp[i00, i00], want_rrrr, atol=1e-6)
+    assert np.isclose(lp[i01, i00], want_het, atol=1e-6)
+    # shared het (0/1, 0/1) = {ref×2, alt×2} → (θ/2)²/2!
+    want_shared = 2 * (math.log10(th) - math.log10(2)) - math.log10(2)
+    assert np.isclose(lp[i01, i01], want_shared, atol=1e-6)
+
+    gl = np.full((1, 2, N_GT), -1e9, np.float32)
+    gl[0, 0, i00], gl[0, 0, i01] = -0.5, 0.0   # normal: 0/1 ahead by 0.5
+    gl[0, 1, i00] = 0.0                        # tumor: clearly 0/0
+    gl[0, 1, i01] = -8.0
+    gl[0, 1, GT_PAIRS.index((1, 1))] = -20.0
+    gl[0, 0, GT_PAIRS.index((1, 1))] = -20.0
+    j = pooled_joint_genotypes(gl, th)
+    # independent argmax would say normal = 0/1; the joint prior
+    # (Δ = log10(θ·4/3) ≈ −2.88 < −0.5) flips it to 0/0
+    assert int(j.gn[0]) == i00 and int(j.gt[0]) == i00
+
+
+def test_somatic_numeric_fixture():
+    """Closed-form anchor for the pooled-discrete somatic model
+    (VERDICT r3 item 3): hand-built tumor/normal pileup → hand-computed
+    GLs, joint genotypes, joint QUAL, and SSC."""
+    import math
+
+    from speedseq_tpu.var.caller import CallerConfig, call_window
+    from speedseq_tpu.var.caller_space import GT_PAIRS
+    from speedseq_tpu.var.device import _esf_log_prior_table
+    from speedseq_tpu.var.pileup import build_pileup
+    from speedseq_tpu.var.somatic import ssc_score
+
+    gseq = "ACGTACGTACGTACGTACGT"
+    g = _genome(gseq)
+    # normal: 10 clean ref reads; tumor: 4 ref + 8 alt (A at offset 10)
+    reads = []
+    for i in range(10):
+        reads.append(_mkread(f"n{i}", 0, gseq, sample=0, qch="?"))
+    for i in range(12):
+        s = list(gseq)
+        if i < 8:
+            s[10] = "A"
+        reads.append(_mkread(f"t{i}", 0, "".join(s), sample=1, qch="?"))
+    pile = build_pileup(reads, 0, len(g))
+    calls = call_window(
+        g, pile, 2,
+        CallerConfig(min_alternate_fraction=0.05, min_alternate_count=2,
+                     pooled_discrete=True),
+    )
+    assert len(calls) == 1
+    c = calls[0]
+    assert c.ref == "G" and c.alts == ["A"]
+
+    e = 1e-3
+    lg = math.log10
+    # per-sample GLs (freebayes diploid model, biallelic)
+    n_rr = 10 * lg(1 - e)
+    n_ra = 10 * lg(0.5 * (1 - e) + 0.5 * e / 3)
+    n_aa = 10 * lg(e / 3)
+    t_rr = 4 * lg(1 - e) + 8 * lg(e / 3)
+    t_ra = 12 * lg(0.5 * (1 - e) + 0.5 * e / 3)
+    t_aa = 4 * lg(e / 3) + 8 * lg(1 - e)
+    ngl = np.array([n_rr, n_ra, n_aa]); ngl -= ngl.max()
+    tgl = np.array([t_rr, t_ra, t_aa]); tgl -= tgl.max()
+    assert np.allclose(np.asarray(c.gl[0], np.float64), ngl, atol=2e-3)
+    assert np.allclose(np.asarray(c.gl[1], np.float64), tgl, atol=2e-3)
+
+    # joint model by hand over the biallelic 3×3 slice of the prior
+    th = 0.001
+    lp = _esf_log_prior_table(th)
+    bi = [GT_PAIRS.index(p) for p in [(0, 0), (0, 1), (1, 1)]]
+    jl = ngl[:, None] + tgl[None, :] + lp[np.ix_(bi, bi)]
+    gn_h, gt_h = np.unravel_index(np.argmax(jl), jl.shape)
+    assert (gn_h, gt_h) == (0, 1)              # normal 0/0, tumor 0/1
+    assert tuple(c.gt[0]) == (0, 0) and tuple(c.gt[1]) == (0, 1)
+
+    # joint QUAL = -10·log10 P(both hom-ref | D)
+    logz = np.log10(np.sum(10.0 ** (jl - jl.max()))) + jl.max()
+    want_qual = min(1e5, -10.0 * (jl[0, 0] - logz))
+    assert abs(c.qual - want_qual) < 0.1, (c.qual, want_qual)
+
+    # marginal GQs from the joint posterior
+    mn = np.log10((10.0 ** (jl - jl.max())).sum(axis=1)) + jl.max()
+    mt = np.log10((10.0 ** (jl - jl.max())).sum(axis=0)) + jl.max()
+    want_gq_n = min(99, round(10 * (np.sort(mn)[-1] - np.sort(mn)[-2])))
+    want_gq_t = min(99, round(10 * (np.sort(mt)[-1] - np.sort(mt)[-2])))
+    assert abs(int(c.gq[0]) - want_gq_n) <= 1
+    assert abs(int(c.gq[1]) - want_gq_t) <= 1
+
+    # SSC from the emitted marginal GLs — exact awk math
+    # (bin/speedseq:166-173): LOD_T = max(tgl1-tgl0, tgl2-tgl0),
+    # LOD_N = ngl0-ngl1
+    want_ssc = max(tgl[1] - tgl[0], tgl[2] - tgl[0]) + (ngl[0] - ngl[1])
+    got_ssc = ssc_score([float(x) for x in c.gl[0]],
+                        [float(x) for x in c.gl[1]])
+    assert abs(got_ssc - want_ssc) < 0.05
+    assert want_ssc >= 18.0                    # this fixture PASSes
+
+
+def _qual_closed_form(gl_norm, th=0.001):
+    """QUAL = -10·log10 P(0/0|D) under the m·log10θ genotype prior."""
+    lp = np.array([0.0, np.log10(th), 2 * np.log10(th)])
+    w = gl_norm + lp
+    logz = np.log10(np.sum(10.0 ** (w - w.max()))) + w.max()
+    return min(1e5, -10.0 * ((gl_norm[0] + lp[0]) - logz))
+
+
+def test_mnp_numeric_fixture():
+    """Closed-form anchor for the haplotype (MNP) path (VERDICT r3
+    item 4): with the min-base-quality observation model, an MNP locus's
+    GL/GQ/QUAL reduce to the exact biallelic diploid closed form at the
+    reads' base quality."""
+    import math
+
+    gseq = "ACGTACGTACGTACGTACGT"
+    g = _genome(gseq)
+
+    def vb(i):
+        return {8: "G", 9: "T"} if i < 5 else {}
+
+    reads = []
+    for i in range(12):
+        subs = vb(i)
+        s = list(gseq)
+        for off, b in subs.items():
+            s[off] = b
+        reads.append(_mkread(f"m{i}", 0, "".join(s), qch="?",
+                             flag=16 if i % 2 else 0))
+    pile = build_pileup(reads, 0, len(g))
+    calls = call_window(g, pile, 1, CallerConfig(min_alternate_fraction=0.1))
+    assert len(calls) == 1
+    c = calls[0]
+    assert c.ref == "AC" and c.alts == ["GT"]
+    e = 1e-3                                   # q30 observations
+    lg = math.log10
+    gl_rr = 7 * lg(1 - e) + 5 * lg(e / 3)
+    gl_ra = 12 * lg(0.5 * (1 - e) + 0.5 * e / 3)
+    gl_aa = 7 * lg(e / 3) + 5 * lg(1 - e)
+    want = np.array([gl_rr, gl_ra, gl_aa])
+    want -= want.max()
+    got = np.asarray(c.gl[0], np.float64)
+    assert np.allclose(got, want, atol=2e-3), (got, want)
+    assert tuple(c.gt[0]) == (0, 1)
+    want_gq = min(99, round(10 * (np.sort(want)[-1] - np.sort(want)[-2])))
+    assert abs(int(c.gq[0]) - want_gq) <= 1
+    assert abs(c.qual - _qual_closed_form(want)) < 0.1
+    # observation qualities are the discriminating-column base quality
+    assert int(c.qr[0]) == 7 * 30 and int(c.qa[0, 0]) == 5 * 30
+
+
+def test_indel_snp_joint_numeric_fixture():
+    """Closed-form anchor for an indel+SNP joint haplotype locus: 6/12
+    reads carry a 3 bp deletion AND a nearby SNP on the same haplotype;
+    the joint allele's GL/GQ/QUAL must match the diploid closed form at
+    q30 (VERDICT r3 item 4)."""
+    import math
+
+    gseq = "ACGTACGTACGTTGCATGCAACGTACGTACGT"
+    g = _genome(gseq)
+    n = 12
+    del_lo, del_len, snp_off = 14, 3, 10
+    reads = []
+    for i in range(n):
+        flag = 16 if i % 2 else 0
+        if i < 6:
+            s = list(gseq[:del_lo] + gseq[del_lo + del_len:])
+            s[snp_off] = "A"                   # SNP left of the deletion
+            rec = SAMRecord(
+                qname=f"j{i}", flag=flag, tid=0, pos=0, mapq=60,
+                cigar=[(0, del_lo), (2, del_len),
+                       (0, len(gseq) - del_lo - del_len)],
+                mtid=-1, mpos=-1, tlen=0, seq="".join(s),
+                qual="?" * len(s),
+            )
+            reads.append((rec, 0))
+        else:
+            reads.append(_mkread(f"r{i}", 0, gseq, flag=flag, qch="?"))
+    pile = build_pileup(reads, 0, len(g))
+    calls = call_window(g, pile, 1, CallerConfig(min_alternate_fraction=0.1))
+    assert len(calls) == 1, [(c.ref, c.alts) for c in calls]
+    c = calls[0]
+    # joint complex allele: SNP at 10 + deletion at 14..16
+    assert int(c.ao.sum()) == 6 and int(c.ro.sum()) == 6
+    e = 1e-3
+    lg = math.log10
+    gl_rr = 6 * lg(1 - e) + 6 * lg(e / 3)
+    gl_ra = 12 * lg(0.5 * (1 - e) + 0.5 * e / 3)
+    gl_aa = 6 * lg(e / 3) + 6 * lg(1 - e)
+    want = np.array([gl_rr, gl_ra, gl_aa])
+    want -= want.max()
+    got = np.asarray(c.gl[0], np.float64)
+    assert np.allclose(got, want, atol=2e-3), (got, want)
+    assert tuple(c.gt[0]) == (0, 1)
+    want_gq = min(99, round(10 * (np.sort(want)[-1] - np.sort(want)[-2])))
+    assert abs(int(c.gq[0]) - want_gq) <= 1
+    assert abs(c.qual - _qual_closed_form(want)) < 0.1
+    assert int(c.qr[0]) == 6 * 30 and int(c.qa[0, 0]) == 6 * 30
