@@ -229,6 +229,108 @@ def align_fastq_multihost(
     return outputs
 
 
+def var_multihost(
+    reference: str,
+    bam_paths: List[str],
+    output: str,
+    num_processes: int,
+    process_id: int,
+    exchange_dir: str,
+    run_id: str = "run",
+    windows_bed: Optional[str] = None,
+    config=None,
+) -> Optional[str]:
+    """One process's share of a multi-host var run.
+
+    Windows are assigned round-robin over the deterministic
+    longest-first order (the reference fans freebayes windows over all
+    cores the same way it fans align pipelines,
+    /root/reference/bin/speedseq:719 vs :449); each process writes a
+    sorted part, the exchange barrier synchronizes, and process 0
+    performs the deterministic k-way merge into the final vcf.gz + tbi
+    (record-for-record equal to a single-process run —
+    tests/test_multihost.py).  Prints per-process wall-clock and
+    exchange/merge overhead: the scaling evidence a single-node
+    environment can produce."""
+    import pickle
+    import time as _time
+
+    from ..var.engine import VarConfig, run_var, build_var_header
+
+    cfg = config or VarConfig()
+    ex = FileExchange(exchange_dir, num_processes, process_id,
+                      run_id=run_id)
+    part = f"{output}.part{process_id}.pkl"
+    t0 = _time.time()
+    run_var(reference, bam_paths, output, windows_bed=windows_bed,
+            config=cfg, _shard=(num_processes, process_id),
+            _part_out=part)
+    t_windows = _time.time() - t0
+    t0 = _time.time()
+    ex.allgather(0, b"done")             # barrier: all parts on disk
+    if process_id != 0:
+        t_ex = _time.time() - t0
+        print(f"[var-mh] p{process_id}: windows {t_windows:.2f}s "
+              f"exchange {t_ex:.2f}s", flush=True)
+        return None
+    from ..formats import tabix as tabix_mod
+    from ..formats.bam import BAMReader
+    from ..formats.vcf import VCFWriter
+
+    tagged = []
+    for p in range(num_processes):
+        with open(f"{output}.part{p}.pkl", "rb") as fh:
+            tagged.extend(pickle.load(fh))
+    tagged.sort(key=lambda t: t[:3])
+    with BAMReader(bam_paths[0]) as rd0:
+        refs = rd0.header.refs
+    # rebuild the header exactly as run_var does (same BAMs → same map)
+    from ..var.engine import _sample_map
+
+    readers = [BAMReader(p) for p in bam_paths]
+    samples, _, _ = _sample_map(readers, bam_paths)
+    for rd in readers:
+        rd.close()
+    header = build_var_header(refs, samples)
+    with VCFWriter(output, header) as w:
+        for *_, r in tagged:
+            w.write(r)
+    if output.endswith(".gz"):
+        tabix_mod.build_tbi(output)
+    for p in range(num_processes):
+        try:
+            os.unlink(f"{output}.part{p}.pkl")
+        except OSError:
+            pass
+    t_merge = _time.time() - t0
+    print(f"[var-mh] p0: windows {t_windows:.2f}s exchange+merge "
+          f"{t_merge:.2f}s", flush=True)
+    return output
+
+
+def _var_worker_main(argv: List[str]) -> int:
+    """Subprocess entry for one process of a multi-process var run."""
+    if os.environ.get("SSQ_FORCE_CPU"):
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    (reference, bams, output, num_p, pid, exdir, run_id), rest = (
+        argv[:7], argv[7:])
+    from ..var.engine import VarConfig
+
+    cfg = VarConfig()
+    if rest:                       # optional window size override
+        cfg = VarConfig(window_size=int(rest[0]))
+    out = var_multihost(
+        reference, bams.split(","), output, int(num_p), int(pid), exdir,
+        run_id=run_id, config=cfg,
+    )
+    if out is not None:
+        print(out)
+    return 0
+
+
 def _worker_main(argv: List[str]) -> int:
     """Subprocess entry for one process of a multi-process run (the
     2-process CPU-mesh test harness spawns this; a real pod would launch
@@ -265,4 +367,8 @@ def _worker_main(argv: List[str]) -> int:
 if __name__ == "__main__":
     import sys
 
+    if sys.argv[1:2] == ["var"]:
+        raise SystemExit(_var_worker_main(sys.argv[2:]))
+    if sys.argv[1:2] == ["align"]:
+        raise SystemExit(_worker_main(sys.argv[2:]))
     raise SystemExit(_worker_main(sys.argv[1:]))

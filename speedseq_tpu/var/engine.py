@@ -190,12 +190,20 @@ def run_var(
     windows_bed: Optional[str] = None,
     config: VarConfig = VarConfig(),
     record_filter=None,
+    _shard: Optional[Tuple[int, int]] = None,
+    _part_out: Optional[str] = None,
 ) -> str:
     """Run variant calling; returns the output path.
 
     ``record_filter(rec) -> Optional[VCFRecord]`` post-processes records
     (somatic mode injects the SSC filter here).
-    """
+
+    ``_shard=(P, pid)`` restricts this process to windows with index
+    ``wi % P == pid`` (round-robin over the longest-first order, the
+    multi-host counterpart of the reference's window fan-out,
+    bin/speedseq:719); ``_part_out`` writes the sorted tagged records to
+    a pickle part instead of the final VCF (parallel.multihost merges
+    the parts deterministically)."""
     cfg = config
     fa = FastaFile(reference)
     with BAMReader(bam_paths[0]) as rd0:
@@ -336,6 +344,9 @@ def run_var(
             return wi, []
 
     items = list(enumerate(windows))
+    if _shard is not None:
+        P_, pid_ = _shard
+        items = [it for it in items if it[0] % P_ == pid_]
     results = []
     try:
         if cfg.threads > 1:
@@ -357,6 +368,14 @@ def run_var(
         for r in recs
     ]
     tagged.sort(key=lambda t: t[:3])
+    if _part_out is not None:
+        import pickle
+
+        tmp = _part_out + ".tmp"
+        with open(tmp, "wb") as fh:
+            pickle.dump(tagged, fh, protocol=4)
+        os.replace(tmp, _part_out)
+        return _part_out
     header = build_var_header(refs, samples)
     with VCFWriter(output, header) as w_:
         for _, _, _, r in tagged:
