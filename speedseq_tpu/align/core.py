@@ -209,6 +209,53 @@ def score_candidates(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("qlen",))
+def device_estimate_distro(stats, fallback, qlen: int):
+    """Insert-distro estimation ON DEVICE (mirrors
+    pairing.InsertDistro.estimate: best FR placements, two-round 4σ
+    trim, pairend_distro.py semantics).
+
+    Returns a (4,) f32 [mean, std, low, high] that feeds the NEXT
+    batch's fused step directly as a device array — the pipeline never
+    waits on a host round-trip to estimate the distro, so batch 1's
+    dispatch chains asynchronously behind batch 0's stats (the
+    first-batch serialization this replaces cost ~0.9 s per run).
+    ``fallback`` is returned when fewer than 8 usable pairs exist
+    (previous rolling estimate)."""
+    (pos1, str1, sc1, end1), (pos2, str2, sc2, end2) = stats
+    b = jnp.arange(pos1.shape[0])
+    k1 = jnp.argmax(sc1, axis=1)
+    k2 = jnp.argmax(sc2, axis=1)
+    p1, t1, s1, e1 = pos1[b, k1], str1[b, k1], sc1[b, k1], end1[b, k1]
+    p2, t2, s2, e2 = pos2[b, k2], str2[b, k2], sc2[b, k2], end2[b, k2]
+    good = (s1 > qlen // 2) & (s2 > qlen // 2) & (t1 != t2)
+    left = jnp.minimum(p1, p2)
+    right = jnp.maximum(e1, e2)
+    isize = (right - left).astype(jnp.float32)
+    fwd_first = jnp.where(p1 <= p2, t1 == 0, t2 == 0)
+    good = good & fwd_first & (isize > 0) & (isize < 10000)
+
+    def ms(mask):
+        cnt = mask.sum()
+        cf = jnp.maximum(cnt, 1).astype(jnp.float32)
+        mf = mask.astype(jnp.float32)
+        m = jnp.sum(isize * mf) / cf
+        v = jnp.sum(((isize - m) ** 2) * mf) / cf
+        return m, jnp.maximum(jnp.sqrt(v), 1.0), cnt
+
+    m0, sd0, c0 = ms(good)
+    mask1 = good & (jnp.abs(isize - m0) <= 4 * sd0)
+    m1, sd1, _ = ms(mask1)
+    mask2 = mask1 & (jnp.abs(isize - m1) <= 4 * sd1)
+    m2, sd2, _ = ms(mask2)
+    est = jnp.stack([
+        m2, sd2,
+        jnp.maximum(0.0, jnp.trunc(m2 - 4 * sd2)),
+        jnp.trunc(m2 + 4 * sd2),
+    ])
+    return jnp.where(c0 >= 8, est, fallback)
+
+
 @functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
 def extend_candidates(
     fm: FMIndex,
@@ -667,6 +714,10 @@ def _extend_xa(fm, sc, xa_mask, reads, lengths, params, use_pallas):
         jnp.sum(flat.astype(jnp.int32)), C)
     rd = src // K
     ch = src % K
+    # NOTE: wrapping this extension in lax.cond(n_xa > 0, …) to skip
+    # XA-free batches was tried and REGRESSED the step ~15% — the cond
+    # boundary breaks XLA fusion/overlap around the extension, costing
+    # more than the 1/16-lane XA work it saves.  Keep it unconditional.
     resc = extend_candidates(
         fm, reads[rd], lengths[rd],
         sc.anchor_rpos[rd, ch][:, None], sc.anchor_qpos[rd, ch][:, None],

@@ -305,7 +305,6 @@ def align_stream(
             [distro.mean, distro.std, distro.low, distro.high], jnp.float32
         )
 
-    import types
     from concurrent.futures import ThreadPoolExecutor
 
     # multi-chip: shard the fused step over the mesh data axis (the
@@ -346,16 +345,13 @@ def align_stream(
 
         xas = unpack_xa(fetched[3], fetched[4])
         if est_distro:
-            mk = lambda s: types.SimpleNamespace(
-                pos=s[0], strand=s[1], score=s[2], rend_pos=s[3])
-            distro = _estimate_distro(
-                mk(fetched[5][0]), mk(fetched[5][1]), cfg,
-                fallback=distro,
-            )
-            distro_arr = jnp.asarray(
-                [distro.mean, distro.std, distro.low, distro.high],
-                jnp.float32,
-            )
+            # the distro was estimated ON DEVICE from this batch's stats
+            # (core.device_estimate_distro); the fetch carries the 4
+            # floats back only for the host epilogue + logging
+            f = np.asarray(fetched[5], np.float64)
+            distro = InsertDistro(
+                mean=float(f[0]), std=float(f[1]),
+                low=int(f[2]), high=int(f[3]))
             if cfg.verbose:
                 print(
                     f"[align] insert distro mean={distro.mean:.1f} "
@@ -395,88 +391,124 @@ def align_stream(
     # the host runs batch i's epilogue (JAX async dispatch) — the TPU-native
     # replacement for the reference's co-scheduled pipelines + mbuffer
     # (bin/speedseq:449,1960)
-    pending = None
-    for bi, (b1, b2) in enumerate(prefetch(batch_iter)):
-        if bi < done_batches:
-            continue
-        n = b1.n
-        batches = [b1] + ([b2] if b2 is not None else [])
-        seqs_p, lens_p = [], []
-        for bb in batches:
-            seqs_p.append(_pad_batch(bb.seq, cfg.batch_size))
-            lens_p.append(_pad_batch(bb.length[:, None], cfg.batch_size)[:, 0])
-        is_paired_batch = paired and b2 is not None
-        # insert distro: estimated from the first batch and re-estimated
-        # every distro_update_every batches (bwa's per-chunk re-estimation
-        # contract, README.md:203-207); -I pins it (insert_override)
-        est_distro = (
-            is_paired_batch and cfg.insert_override is None
-            and (distro is None or bi % cfg.distro_update_every == 0)
-        )
-        if mesh is not None:
-            # multi-chip: the same fused graph sharded over the data axis
-            # (parallel.mesh); packed outputs gather into identical host
-            # arrays, so the epilogue is shard-count agnostic
-            from ..parallel.mesh import distributed_fused_step
+    from collections import deque
 
-            res = distributed_fused_step(
-                mesh, fm,
-                seqs_p[0], lens_p[0],
-                seqs_p[1] if is_paired_batch else None,
-                lens_p[1] if is_paired_batch else None,
-                distro=distro_arr,
-                n_chains=cfg.n_chains,
-                min_seed_len=cfg.min_seed_len,
-                use_pallas=use_pallas,
-                kidx=kidx,
-            )[:7]
-        else:
-            res = fused_align_packed(
-                fm,
-                seqs_p[0], lens_p[0],
-                seqs_p[1] if is_paired_batch else None,
-                lens_p[1] if is_paired_batch else None,
-                distro=distro_arr,
-                n_chains=cfg.n_chains,
-                min_seed_len=cfg.min_seed_len,
-                use_pallas=use_pallas,
-                paired=is_paired_batch,
-                kidx=kidx,
+    drain_pool = ThreadPoolExecutor(max_workers=1)
+    drain_futs: "deque" = deque()
+    try:
+        for bi, (b1, b2) in enumerate(prefetch(batch_iter)):
+            if bi < done_batches:
+                continue
+            n = b1.n
+            batches = [b1] + ([b2] if b2 is not None else [])
+            seqs_p, lens_p = [], []
+            for bb in batches:
+                seqs_p.append(_pad_batch(bb.seq, cfg.batch_size))
+                lens_p.append(_pad_batch(bb.length[:, None], cfg.batch_size)[:, 0])
+            is_paired_batch = paired and b2 is not None
+            # insert distro: estimated from the first batch and re-estimated
+            # every distro_update_every batches (bwa's per-chunk re-estimation
+            # contract, README.md:203-207); -I pins it (insert_override)
+            # deterministic schedule (batch 0 and every Nth after): the drain
+            # now runs on its own worker, so gating on the host `distro`
+            # object would make the schedule depend on thread timing
+            est_distro = (
+                is_paired_batch and cfg.insert_override is None
+                and bi % cfg.distro_update_every == 0
             )
-        meta_d, cig16_d, cigfull_d, ovf_d, stats_d, xam_d, xac_d = res
-        fetch_args = (meta_d, cig16_d, ovf_d, xam_d, xac_d) + (
-            (stats_d,) if est_distro else ())
-        item = {
-            "bi": bi, "batches": batches, "seqs_p": seqs_p, "lens_p": lens_p,
-            "is_paired": is_paired_batch, "est_distro": est_distro,
-            "cigfull": cigfull_d,
-            "fut": fetch_pool.submit(jax.device_get, fetch_args),
-        }
-        if pending is not None:
-            _drain(pending)
-        pending = item
-        if distro is None and is_paired_batch and cfg.insert_override is None:
-            # drain the first batch immediately so batch 1+ device pair
-            # selection runs with a real insert distro
-            _drain(pending)
-            pending = None
-    if pending is not None:
-        _drain(pending)
-    fetch_pool.shutdown(wait=False)
+            if mesh is not None:
+                # multi-chip: the same fused graph sharded over the data axis
+                # (parallel.mesh); packed outputs gather into identical host
+                # arrays, so the epilogue is shard-count agnostic
+                from ..parallel.mesh import distributed_fused_step
+
+                res = distributed_fused_step(
+                    mesh, fm,
+                    seqs_p[0], lens_p[0],
+                    seqs_p[1] if is_paired_batch else None,
+                    lens_p[1] if is_paired_batch else None,
+                    distro=distro_arr,
+                    n_chains=cfg.n_chains,
+                    min_seed_len=cfg.min_seed_len,
+                    use_pallas=use_pallas,
+                    kidx=kidx,
+                )[:7]
+            else:
+                res = fused_align_packed(
+                    fm,
+                    seqs_p[0], lens_p[0],
+                    seqs_p[1] if is_paired_batch else None,
+                    lens_p[1] if is_paired_batch else None,
+                    distro=distro_arr,
+                    n_chains=cfg.n_chains,
+                    min_seed_len=cfg.min_seed_len,
+                    use_pallas=use_pallas,
+                    paired=is_paired_batch,
+                    kidx=kidx,
+                )
+            meta_d, cig16_d, cigfull_d, ovf_d, stats_d, xam_d, xac_d = res
+            if est_distro:
+                # chain the distro estimate ON DEVICE: batch bi+1's dispatch
+                # consumes this (4,) array as a plain input, so the whole
+                # stream stays async — no host round-trip, no first-batch
+                # drain (the old serialization cost ~0.9 s per run)
+                from .core import device_estimate_distro
+
+                fb = (distro_arr if distro_arr is not None
+                      else jnp.asarray([300.0, 100.0, 50.0, 700.0],
+                                       jnp.float32))
+                distro_arr = device_estimate_distro(
+                    stats_d, fb, qlen=cfg.max_read_len)
+            fetch_args = (meta_d, cig16_d, ovf_d, xam_d, xac_d) + (
+                (distro_arr,) if est_distro else ())
+            item = {
+                "bi": bi, "batches": batches, "seqs_p": seqs_p, "lens_p": lens_p,
+                "is_paired": is_paired_batch, "est_distro": est_distro,
+                "cigfull": cigfull_d,
+                "fut": fetch_pool.submit(jax.device_get, fetch_args),
+            }
+            # 3-stage pipeline: main thread streams dispatches, the fetch
+            # pool transfers, the 1-worker drain pool runs the ordered host
+            # epilogue (dup marking is first-seen — order matters).  Bounded
+            # look-ahead keeps at most 2 batches of fetched arrays live.
+            drain_futs.append(drain_pool.submit(_drain, item))
+            while len(drain_futs) > 2:
+                drain_futs.popleft().result()
+        while drain_futs:
+            drain_futs.popleft().result()
+    finally:
+        # on an interrupting exception, still wait for already-submitted
+        # drains (their checkpoint segments must land deterministically —
+        # tests/test_aux.py mid-run resume) and release the pools; drain
+        # errors here are secondary to the propagating exception
+        while drain_futs:
+            f = drain_futs.popleft()
+            try:
+                f.result()
+            except Exception:
+                pass
+        drain_pool.shutdown(wait=True)
+        fetch_pool.shutdown(wait=False)
 
     if os.path.exists(ckpt_path):
         os.remove(ckpt_path)
 
-    outputs = {}
-    for key, suffix in (
-        ("bam", ".bam"),
-        ("splitters", ".splitters.bam"),
-        ("discordants", ".discordants.bam"),
-    ):
+    # finalize the 3 outputs concurrently (sorter merge + BGZF write +
+    # BAI build each) — the reference co-schedules exactly this with
+    # `parallel -j 3` (bin/speedseq:491-495)
+    def _close_one(key_suffix):
+        key, suffix = key_suffix
         sorters[key].close()
         path = out_prefix + suffix
         bai.build_bai(path)
-        outputs[suffix[1:]] = path
+        return suffix[1:], path
+
+    with ThreadPoolExecutor(max_workers=3) as close_pool:
+        outputs = dict(close_pool.map(_close_one, (
+            ("bam", ".bam"),
+            ("splitters", ".splitters.bam"),
+            ("discordants", ".discordants.bam"),
+        )))
     if trace_dir:
         import jax.profiler as _prof
 
@@ -503,23 +535,6 @@ def _pad_batch(a: np.ndarray, n: int) -> np.ndarray:
     if a.dtype == np.uint8 and a.ndim == 2:
         pad[:] = 4
     return np.concatenate([a, pad], axis=0)
-
-
-def _estimate_distro(
-    c1: Candidates, c2: Candidates, cfg: AlignConfig,
-    fallback: Optional[InsertDistro] = None,
-) -> InsertDistro:
-    k1 = np.argmax(np.asarray(c1.score), axis=1)
-    k2 = np.argmax(np.asarray(c2.score), axis=1)
-    bi = np.arange(len(k1))
-    return InsertDistro.estimate(
-        np.asarray(c1.pos)[bi, k1], np.asarray(c1.strand)[bi, k1],
-        np.asarray(c1.score)[bi, k1], np.asarray(c1.rend_pos)[bi, k1],
-        np.asarray(c2.pos)[bi, k2], np.asarray(c2.strand)[bi, k2],
-        np.asarray(c2.score)[bi, k2], np.asarray(c2.rend_pos)[bi, k2],
-        qlen=cfg.max_read_len,
-        fallback=fallback,
-    )
 
 
 def _lib_map(rg_lines: Optional[List[str]], cfg: AlignConfig) -> Dict[str, int]:

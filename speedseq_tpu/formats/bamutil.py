@@ -47,11 +47,22 @@ def filter_read_groups(
         refs, cols, blob = read_bam_columns(in_bam, with_blob=True)
         off, ln_ = ztag_strings(cols, "RG")
         aux = cols.aux_blob
+        # vectorized membership: per distinct RG length, gather the tag
+        # bytes into a matrix, unique the rows (a handful of RG ids),
+        # decode only those — no per-record Python walk
         keep = np.zeros(cols.n, bool)
-        for i in range(cols.n):
-            rg = (aux[off[i]: off[i] + ln_[i]].tobytes().decode()
-                  if off[i] >= 0 else "")
-            keep[i] = rg in keep_set
+        no_rg = off < 0
+        keep[no_rg] = "" in keep_set
+        have = np.nonzero(~no_rg)[0]
+        for L in np.unique(ln_[have]) if len(have) else []:
+            rows = have[ln_[have] == L]
+            if L == 0:
+                keep[rows] = "" in keep_set
+                continue
+            mat = aux[off[rows][:, None] + np.arange(L)[None, :]]
+            uniq, inv = np.unique(mat, axis=0, return_inverse=True)
+            ok = np.array([u.tobytes().decode() in keep_set for u in uniq])
+            keep[rows] = ok[inv]
         sizes = record_sizes(cols)
         starts = np.zeros(cols.n, np.int64)
         np.cumsum(sizes[:-1], out=starts[1:])

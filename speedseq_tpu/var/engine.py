@@ -140,16 +140,25 @@ def _columnar_sample_ids(
         return np.full(cols.n, default_map.get(bi, 0), np.int32)
     if len(bam_samples) == 1:
         return np.full(cols.n, next(iter(bam_samples)), np.int32)
-    from ..formats.bam import _decode_aux
+    # multi-sample BAM: vectorized RG:Z lookup — per distinct tag
+    # length, gather the tag bytes, unique the rows (a handful of RG
+    # ids), decode only those (no per-record aux walk)
+    from ..sv.columnar import ztag_strings
 
     out = np.full(cols.n, default_map.get(bi, 0), np.int32)
-    ab = cols.aux_blob.tobytes()
-    for i in range(cols.n):
-        tags = _decode_aux(ab[cols.aux_off[i]:cols.aux_off[i + 1]])
-        for t, _, v in tags:
-            if t == "RG":
-                out[i] = rg_map.get((bi, v), out[i])
-                break
+    off, ln_ = ztag_strings(cols, "RG")
+    aux = cols.aux_blob
+    have = np.nonzero(off >= 0)[0]
+    for L in np.unique(ln_[have]) if len(have) else []:
+        rows = have[ln_[have] == L]
+        if L == 0:
+            continue
+        mat = aux[off[rows][:, None] + np.arange(L)[None, :]]
+        uniq, inv = np.unique(mat, axis=0, return_inverse=True)
+        ids = np.array([
+            rg_map.get((bi, u.tobytes().decode()), default_map.get(bi, 0))
+            for u in uniq], np.int32)
+        out[rows] = ids[inv]
     return out
 
 
