@@ -40,6 +40,33 @@ def _threads(args, kcfg) -> int:
     return args.t if args.t is not None else kcfg.threads
 
 
+def _resolve_windows(w, kcfg):
+    """-w 'default' resolves the shipped depth-balanced window BED
+    (annotations/ceph18.b37.include.2014-01-15.bed, README.md:153-155)
+    via the config's annotations_dir."""
+    if w == "default":
+        p = kcfg.default_windows()
+        if p is None:
+            raise SystemExit(
+                "speedseq-tpu: no default windows BED found under "
+                f"{kcfg.annotations_dir} (set annotations_dir via -K)")
+        return p
+    return w or kcfg.windows_bed
+
+
+def _resolve_exclude(x, kcfg):
+    """-x 'default' resolves the shipped LUMPY exclude BED
+    (annotations/ceph18.b37.lumpy.exclude.2014-01-15.bed)."""
+    if x == "default":
+        p = kcfg.default_exclude()
+        if p is None:
+            raise SystemExit(
+                "speedseq-tpu: no default exclude BED found under "
+                f"{kcfg.annotations_dir} (set annotations_dir via -K)")
+        return p
+    return x or kcfg.exclude_bed
+
+
 def _parse_insert_override(s: str):
     parts = [float(x) for x in s.split(",")]
     mean = parts[0]
@@ -123,7 +150,7 @@ def cmd_var(args) -> int:
         args.reference,
         args.bams,
         output,
-        windows_bed=args.w or kcfg.windows_bed,
+        windows_bed=_resolve_windows(args.w, kcfg),
         config=VarConfig(
             min_qual=args.q, threads=_threads(args, kcfg), verbose=args.v
         ),
@@ -146,7 +173,7 @@ def cmd_somatic(args) -> int:
         args.normal_bam,
         args.tumor_bam,
         output,
-        windows_bed=args.w or kcfg.windows_bed,
+        windows_bed=_resolve_windows(args.w, kcfg),
         config=SomaticConfig(
             min_qual=args.q,
             ssc_threshold=args.S,
@@ -198,7 +225,7 @@ def cmd_sv(args) -> int:
             genotype=args.g,
             annotate_depth=args.d,
             prob_curves=args.P,
-            exclude_bed=args.x or kcfg.exclude_bed,
+            exclude_bed=_resolve_exclude(args.x, kcfg),
             reference=args.R,
             threads=_threads(args, kcfg),
             trim_threshold=args.r,       # lumpy -r (bin/speedseq:1243)
@@ -265,7 +292,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     v = sub.add_parser("var", help="call SNVs/indels (FreeBayes-equivalent)")
     common(v)
-    v.add_argument("-w", metavar="FILE", help="BED of genomic windows")
+    v.add_argument("-w", metavar="FILE", help="BED of genomic windows ('default' = shipped depth-balanced BED)")
     v.add_argument("-q", type=float, default=1.0, metavar="FLOAT", help="min QUAL [1]")
     v.add_argument("-A", action="store_true", help="annotate with VEP (external; not bundled)")
     v.add_argument("reference")
@@ -296,7 +323,7 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("-S", metavar="FILE", help="splitters BAM(s)")
     sv.add_argument("-D", metavar="FILE", help="discordants BAM(s)")
     sv.add_argument("-R", metavar="FILE", help="reference fasta (for -d)")
-    sv.add_argument("-x", metavar="FILE", help="exclude BED")
+    sv.add_argument("-x", metavar="FILE", help="exclude BED ('default' = shipped LUMPY exclude BED)")
     sv.add_argument("-g", action="store_true", help="genotype breakends")
     sv.add_argument("-d", action="store_true", help="read-depth CNV annotation")
     sv.add_argument("-w", type=int, default=100, metavar="INT", help="CNV window [100]")

@@ -416,3 +416,26 @@ def test_bamutil_filter_and_group(tmp_path):
     # read1 precedes read2 within a name group
     fl = [(r.qname, bool(r.flag & 0x40)) for r in r3]
     assert fl[1] == ("r2", True) and fl[2] == ("r2", False)
+
+
+def test_cli_default_annotation_resolution():
+    """-w/-x 'default' resolve the shipped annotation BEDs through the
+    config's annotations_dir (SURVEY §2 component 22)."""
+    from speedseq_tpu.cli import _resolve_exclude, _resolve_windows
+    from speedseq_tpu.config import SpeedseqConfig
+
+    kcfg = SpeedseqConfig()
+    w = _resolve_windows("default", kcfg)
+    x = _resolve_exclude("default", kcfg)
+    assert w and w.endswith("ceph18.b37.include.2014-01-15.bed")
+    assert x and x.endswith("ceph18.b37.lumpy.exclude.2014-01-15.bed")
+    assert os.path.exists(w) and os.path.exists(x)
+    # explicit paths and None pass through untouched
+    assert _resolve_windows(None, kcfg) == kcfg.windows_bed
+    assert _resolve_windows("/tmp/custom.bed", kcfg) == "/tmp/custom.bed"
+    # missing annotations dir fails loudly
+    kcfg2 = SpeedseqConfig(annotations_dir="/nonexistent")
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        _resolve_windows("default", kcfg2)
