@@ -151,8 +151,12 @@ if _HAVE_JAX:
         keep95 = prob >= thr[:, None]
         c0 = jnp.min(jnp.where(keep95, col, Wmax), axis=1).astype(jnp.int32)
         c1 = jnp.max(jnp.where(keep95, col, -1), axis=1).astype(jnp.int32)
-        return (prob, lo, pos, ci_lo, ci_hi,
-                lo + c0 - pos, lo + c1 - pos, nz0, nz1)
+        # pack the 8 int columns into ONE array: each host leaf fetch
+        # costs ~30 ms of relay latency (docs/PERF_NOTES.md r1 lesson)
+        ints = jnp.stack(
+            [lo, pos, ci_lo, ci_hi, lo + c0 - pos, lo + c1 - pos, nz0, nz1],
+            axis=1)
+        return prob, ints
 
 
 class CombinedClusters(NamedTuple):
@@ -204,19 +208,24 @@ def cluster_and_combine(
         Dmax = curves.shape[1]
         cur_p = np.zeros((npad, Dmax), np.float32)
         cur_p[:n] = curves
-        out = _combine_jit(
+        return _combine_jit(
             pad_i(cids, npad - 1), pad_i(start, 0), pad_i(clen, 1),
             jnp.asarray(cur_p), jnp.float32(trim),
             n_seg=npad, Wmax=Wmax)
-        (prob, lo, pos, cilo, cihi, c95lo, c95hi, nz0, nz1) = (
-            np.asarray(x) for x in out)
-        return (prob[:C], lo[:C], pos[:C],
-                np.stack([cilo[:C], cihi[:C]], 1),
-                np.stack([c95lo[:C], c95hi[:C]], 1),
-                np.stack([nz0[:C], nz1[:C]], 1))
 
-    p1, lo1, pos1, ci1, ci951, nz1_ = side(start1, len1, curves1)
-    p2, lo2, pos2, ci2, ci952, nz2_ = side(start2, len2, curves2)
+    # dispatch both sides, then ONE device_get (4 leaves) — per-leaf
+    # host fetches dominate sv wall time on the relay otherwise
+    o1 = side(start1, len1, curves1)
+    o2 = side(start2, len2, curves2)
+    (p1, i1), (p2, i2) = jax.device_get((o1, o2))
+
+    def unpack(prob, ints):
+        ints = ints[:C]
+        return (prob[:C], ints[:, 0], ints[:, 1], ints[:, 2:4],
+                ints[:, 4:6], ints[:, 6:8])
+
+    p1, lo1, pos1, ci1, ci951, nz1_ = unpack(p1, i1)
+    p2, lo2, pos2, ci2, ci952, nz2_ = unpack(p2, i2)
     return CombinedClusters(
         cids=cids, n_clusters=C,
         prob=(p1, p2), lo=(lo1, lo2), pos=(pos1, pos2),
@@ -320,7 +329,12 @@ if _HAVE_JAX:
         ref_n = rs_c + rp_c
 
         gl, gt, gq, sq, ab = _genotype_counts(ref_n, alt_n)
-        return ref_n, alt_n, rs_c, as_c, rp_c, ap_c, gl, gt, gq, sq, ab
+        # pack into 2 leaves (ints (C,8), floats (C,5)) — one host fetch
+        ints = jnp.stack(
+            [ref_n, alt_n, rs_c, as_c, rp_c, ap_c, gt, gq], axis=1)
+        flts = jnp.concatenate(
+            [gl, sq[:, None], ab[:, None]], axis=1)
+        return ints, flts
 
     _svtyper_jit = jax.jit(_svtyper_kernel)
 
@@ -386,8 +400,11 @@ if _HAVE_JAX:
             out = _svtyper_jit(*args)
         else:
             out = _svtyper_sharded(mesh, args)
-        out = tuple(np.asarray(x) for x in out)
-        return tuple(x[:C] for x in out)
+        ints, flts = jax.device_get(out)      # one fetch, two leaves
+        ints, flts = ints[:C], flts[:C]
+        return (ints[:, 0], ints[:, 1], ints[:, 2], ints[:, 3],
+                ints[:, 4], ints[:, 5], flts[:, :3], ints[:, 6],
+                ints[:, 7], flts[:, 3], flts[:, 4])
 
     def _svtyper_sharded(mesh, args):
         """shard_map over the call axis (breakpoints are independent —
@@ -408,7 +425,7 @@ if _HAVE_JAX:
         in_specs = (c_axis, c_axis) + (rep,) * 14 + (c_axis,) * 7 + (rep,) * 4
         fn = shard_map(
             _svtyper_kernel, mesh=mesh,
-            in_specs=in_specs, out_specs=(c_axis,) * 11, **kw)
+            in_specs=in_specs, out_specs=(c_axis, c_axis), **kw)
         return jax.jit(fn)(*args)
 
 
