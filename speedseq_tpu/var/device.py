@@ -137,7 +137,13 @@ def _genotype_sites_jit(
     log_p0 = (gl_norm[:, :, 0] + lp[0]) - logz             # (S, M)
     qual = jnp.minimum(1e5, -10.0 * jnp.sum(log_p0, axis=1))
 
-    return gl_norm, gt_idx, gq, qual, dp, ro, ao, qr, qa, rpl, rpr, saf, sar
+    # pack into 4 leaves: per-LEAF host fetches cost ~30 ms of relay
+    # latency (docs/PERF_NOTES.md) and this program runs once per window
+    i_sm = jnp.concatenate([
+        gt_idx[..., None], gq[..., None], dp[..., None], ro[..., None],
+        qr[..., None], ao, qa], axis=2)                     # (S, M, 5+2A)
+    i_sa = jnp.concatenate([rpl, rpr, saf, sar], axis=1)    # (S, 4A)
+    return gl_norm, qual, i_sm, i_sa
 
 
 def _pad_axis(x: np.ndarray, axis: int, target: int, fill=0) -> np.ndarray:
@@ -190,12 +196,15 @@ def genotype_sites(
         out = _genotype_sites_jit(*args, n_samples=n_samples)
     else:
         out = _genotype_sites_sharded(mesh, args, n_samples)
-    (gl, gt_idx, gq, qual, dp, ro, ao, qr, qa, rpl, rpr, saf, sar) = (
-        np.asarray(x) for x in out)
+    gl, qual, i_sm, i_sa = jax.device_get(out)   # ONE fetch, 4 leaves
+    A = MAX_ALTS
+    gl, qual, i_sm, i_sa = gl[:S], qual[:S], i_sm[:S], i_sa[:S]
     return SiteGenotypes(
-        gl=gl[:S], gt_idx=gt_idx[:S], gq=gq[:S], qual=qual[:S],
-        dp=dp[:S], ro=ro[:S], ao=ao[:S], qr=qr[:S], qa=qa[:S],
-        rpl=rpl[:S], rpr=rpr[:S], saf=saf[:S], sar=sar[:S],
+        gl=gl, gt_idx=i_sm[..., 0], gq=i_sm[..., 1], qual=qual,
+        dp=i_sm[..., 2], ro=i_sm[..., 3], qr=i_sm[..., 4],
+        ao=i_sm[..., 5:5 + A], qa=i_sm[..., 5 + A:5 + 2 * A],
+        rpl=i_sa[:, :A], rpr=i_sa[:, A:2 * A],
+        saf=i_sa[:, 2 * A:3 * A], sar=i_sa[:, 3 * A:],
     )
 
 
@@ -310,7 +319,7 @@ def _genotype_sites_sharded(mesh, args, n_samples: int):
         functools.partial(_genotype_sites_jit, n_samples=n_samples),
         mesh=mesh,
         in_specs=(s_axis, s_axis, rep, s_axis, rep, rep, s_axis, rep),
-        out_specs=(s_axis,) * 13,
+        out_specs=(s_axis,) * 4,
         **kw,
     )
     return jax.jit(fn)(obs_p, q_p, sam_p, rpos_p, str_p, rl_p, na_p, theta)
