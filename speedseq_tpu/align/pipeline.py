@@ -311,10 +311,10 @@ def align_stream(
     # single-chip relay exposes 1 device; multi-chip slices and the
     # virtual CPU mesh take this path)
     mesh = None
-    if jax.device_count() > 1:
+    if jax.local_device_count() > 1:
         from ..parallel.mesh import make_mesh
 
-        if cfg.batch_size % jax.device_count() == 0:
+        if cfg.batch_size % jax.local_device_count() == 0:
             mesh = make_mesh()
 
     # a 1-thread fetch pool lets the d2h transfer of batch i overlap the

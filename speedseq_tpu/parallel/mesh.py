@@ -27,7 +27,10 @@ from ..align.core import fused_align_packed
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
-    devs = jax.devices()
+    # LOCAL devices only: the multi-host design shards work per process
+    # (host-exchange global state), so meshes must never span another
+    # process's non-addressable devices under jax.distributed
+    devs = jax.local_devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))

@@ -15,10 +15,13 @@ story (SURVEY §2.3, BASELINE ≥80% 2-host scaling):
   hold across hosts.  Each wave, processes allgather their batch's dup
   signatures and every process applies all P batches to an identical
   replicated signature table in (wave, process) order —
-  :class:`WaveSyncDupMarker`.  The exchange transport is a tiny
-  file-based allgather (:class:`FileExchange`) — the DCN analog of the
-  reference's files-as-transport, and exactly what a shared-filesystem
-  pod gives us; payloads are O(new signatures per batch).
+  :class:`WaveSyncDupMarker`.  The exchange transport is
+  :class:`CollectiveExchange` (jax.distributed process_allgather — Gloo
+  on CPU pods, ICI/DCN collectives on TPU pods) when jax.distributed is
+  initialized, else the file-based :class:`FileExchange` (the analog of
+  the reference's files-as-transport for shared-filesystem setups);
+  payloads are packed int64 signature matrices, O(new signatures per
+  batch).
 - **deterministic global merge**: each process writes sorted per-process
   BAM triples; process 0 k-way merges them on the samtools coordinate
   key with process-order tie-breaking (bam_sort.c:109-119 heap semantics)
@@ -127,31 +130,81 @@ class FileExchange:
 _EMPTY = np.zeros(0, np.int64)
 
 
+class CollectiveExchange:
+    """jax.distributed allgather transport: the same wave interface as
+    FileExchange, but payloads ride the interconnect collectives
+    (Gloo on CPU pods, ICI/DCN on TPU pods) instead of a shared
+    filesystem — the TPU-native communication backend SURVEY §2.3 maps
+    the reference's files-as-transport onto.  Requires
+    jax.distributed.initialize (init_distributed) to have run."""
+
+    def __init__(self):
+        import jax
+        from jax.experimental import multihost_utils
+
+        self._mh = multihost_utils
+        self.P = jax.process_count()
+        self.pid = jax.process_index()
+
+    def allgather(self, wave: int, payload: bytes) -> List[bytes]:
+        ln = np.asarray([len(payload)], np.int64)
+        lens = np.asarray(self._mh.process_allgather(ln)).reshape(-1)
+        m = max(int(lens.max()), 1) if len(lens) else 1
+        buf = np.zeros(m, np.uint8)
+        if payload:
+            buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+        g = np.asarray(self._mh.process_allgather(buf)).reshape(self.P, m)
+        return [g[p, : lens[p]].tobytes() for p in range(self.P)]
+
+
+def make_exchange(exchange_dir: str, num_processes: int, process_id: int,
+                  run_id: str = "run"):
+    """Collective transport when jax.distributed is up (real pods / the
+    distributed CPU harness); filesystem transport otherwise."""
+    import jax
+
+    try:
+        if jax.process_count() == num_processes and num_processes > 1:
+            return CollectiveExchange()
+    except Exception:
+        pass
+    return FileExchange(exchange_dir, num_processes, process_id,
+                        run_id=run_id)
+
+
 class WaveSyncDupMarker(StreamDupMarker):
     """Replicated-table duplicate marker: every process applies every
     process's batch signatures in (wave, process) order, so all tables
     stay identical and first-seen resolution equals the single-process
-    stream order."""
+    stream order.
 
-    def __init__(self, exchange: FileExchange):
+    Payloads are a packed (n, k) int64 signature matrix (no pickle):
+    device-collective friendly and smaller than the pickled arrays."""
+
+    def __init__(self, exchange):
         super().__init__()
         self.ex = exchange
         self.wave = 0
 
     def mark_batch(self, tid1, p5_1, st1, ok1, tid2, p5_2, st2, ok2,
                    lib=None):
-        args = [np.asarray(a) for a in
+        args = [np.asarray(a, np.int64) for a in
                 (tid1, p5_1, st1, ok1, tid2, p5_2, st2, ok2)]
         if lib is not None:
-            args.append(np.asarray(lib))
-        payload = pickle.dumps(args, protocol=4)
+            args.append(np.asarray(lib, np.int64))
+        k = len(args)
+        mat = (np.stack(args, axis=1) if args[0].size
+               else np.zeros((0, k), np.int64))
+        payload = bytes([k]) + mat.tobytes()
         peers = self.ex.allgather(self.wave, payload)
         self.wave += 1
         mine = None
         for p, pl in enumerate(peers):
-            a = pickle.loads(pl)
-            lib_p = a[8] if len(a) > 8 else None
-            d = super().mark_batch(*a[:8], lib=lib_p)
+            kp = pl[0]
+            m = np.frombuffer(pl[1:], np.int64).reshape(-1, kp)
+            cols = [m[:, i] for i in range(kp)]
+            lib_p = cols[8] if kp > 8 else None
+            d = super().mark_batch(*cols[:8], lib=lib_p)
             if p == self.ex.pid:
                 mine = d
         return mine
@@ -190,7 +243,8 @@ def align_fastq_multihost(
     from ..align.pipeline import align_stream
     from ..formats import fastq
 
-    ex = FileExchange(exchange_dir, num_processes, process_id, run_id=run_id)
+    ex = make_exchange(exchange_dir, num_processes, process_id,
+                       run_id=run_id)
     marker = WaveSyncDupMarker(ex)
     batches = list(fastq.iter_batches(
         fq1, batch_size=config.batch_size, max_len=config.max_read_len,
@@ -258,8 +312,8 @@ def var_multihost(
     from ..var.engine import VarConfig, run_var, build_var_header
 
     cfg = config or VarConfig()
-    ex = FileExchange(exchange_dir, num_processes, process_id,
-                      run_id=run_id)
+    ex = make_exchange(exchange_dir, num_processes, process_id,
+                       run_id=run_id)
     part = f"{output}.part{process_id}.pkl"
     t0 = _time.time()
     run_var(reference, bam_paths, output, windows_bed=windows_bed,

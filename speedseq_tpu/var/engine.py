@@ -268,7 +268,7 @@ def run_var(
     use_columnar = _native.available()
     mesh = None
     import jax as _jax
-    if _jax.device_count() > 1:
+    if _jax.local_device_count() > 1:
         from ..parallel.mesh import make_mesh
         mesh = make_mesh()
 

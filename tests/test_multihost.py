@@ -150,3 +150,55 @@ def test_two_process_var_record_equality(tmp_path):
     # 2 processes; records must be identical line-for-line
     assert recs(out_multi) == recs(single)
     assert os.path.exists(out_multi + ".tbi")
+
+
+def test_two_process_collective_exchange(tmp_path):
+    """With jax.distributed initialized (SSQ_COORDINATOR), the dup
+    signature exchange rides process_allgather collectives (Gloo here,
+    ICI/DCN on pods) instead of the filesystem — records must still
+    equal the single-process run."""
+    import socket
+
+    genome = FastaFile(REF).fetch_encoded("20_slice")
+    names, s1, q1, s2, q2, truth = sim.simulate_pairs(
+        genome[:40000], 200, read_len=100, seed=23)
+    for dst, src in ((60, 2), (130, 2)):   # cross-shard duplicates
+        s1[dst], s2[dst], q1[dst], q2[dst] = s1[src], s2[src], q1[src], q2[src]
+    fq1, fq2 = str(tmp_path / "c1.fq"), str(tmp_path / "c2.fq")
+    sim.to_fastq(fq1, fq2, names, s1, q1, s2, q2)
+    cfg = AlignConfig(batch_size=64, insert_override=INSERT)
+    single = align_fastq(REF, fq1, fq2, out_prefix=str(tmp_path / "sing"),
+                         config=cfg)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ, SSQ_FORCE_CPU="1", JAX_PLATFORMS="cpu",
+               SSQ_COORDINATOR=f"127.0.0.1:{port}",
+               PYTHONPATH=os.pathsep.join(sys.path))
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "").replace(
+        "--xla_force_host_platform_device_count=8", "").strip()
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "speedseq_tpu.parallel.multihost",
+             REF, fq1, fq2, str(tmp_path / "coll"), "2", str(pid),
+             str(tmp_path / "exc"), "64",
+             ",".join(str(x) for x in INSERT), "rc"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    try:
+        outs = [p.communicate(timeout=540) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se[-2000:]
+    # the collective transport must have been selected (no wave files)
+    exc = tmp_path / "exc"
+    assert not exc.exists() or not any(
+        f.startswith("rc.w") for f in os.listdir(exc))
+    hdr_s, recs_s = read_bam(single["bam"])
+    hdr_m, recs_m = read_bam(str(tmp_path / "coll.bam"))
+    assert sorted(map(_rec_key, recs_s)) == sorted(map(_rec_key, recs_m))
