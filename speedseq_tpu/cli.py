@@ -208,11 +208,17 @@ def cmd_sv(args) -> int:
     samples = []
     for f, s, d in zip(fulls, spls, discs):
         name = os.path.basename(f).rsplit(".", 1)[0]
-        with BAMReader(f) as rd:
+        from .formats.cram import CRAMReader, is_cram
+
+        rd = CRAMReader(f) if is_cram(f) else BAMReader(f)
+        try:
             for line in rd.header.text.splitlines():
                 if line.startswith("@RG") and "SM:" in line:
-                    name = [x for x in line.split("\t") if x.startswith("SM:")][0][3:]
+                    name = [x for x in line.split("\t")
+                            if x.startswith("SM:")][0][3:]
                     break
+        finally:
+            rd.close()
         samples.append(SVSample(name, f, s, d))
     kcfg = _kconfig(args)
     out = args.o or os.path.basename(fulls[0]).rsplit(".", 1)[0]

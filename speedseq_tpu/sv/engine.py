@@ -240,12 +240,30 @@ def _ensure_side_bams(samples: List[SVSample], verbose: bool) -> None:
         extract_side_bams(s.full, spl_out, disc_out)
 
 
+def _convert_cram_inputs(samples: List[SVSample], cfg: SVConfig) -> None:
+    """CRAM full-BAM inputs decode to BAM first (the reference's sv
+    accepts CRAM via its lumpy cram branch, bin/speedseq:97-134;
+    formats/cram.py is our decoder).  Requires -R/reference unless the
+    CRAM embeds its reference."""
+    from ..formats.cram import cram_to_bam, is_cram
+
+    for s in samples:
+        if not os.path.exists(s.full) or not is_cram(s.full):
+            continue
+        out = s.full + ".decoded.bam"
+        if cfg.verbose:
+            print(f"[sv] decoding CRAM input {s.full} -> {out}")
+        cram_to_bam(s.full, out, reference=cfg.reference)
+        s.full = out
+
+
 def run_sv(
     samples: List[SVSample],
     output: str,
     config: SVConfig = SVConfig(),
 ) -> str:
     cfg = config
+    _convert_cram_inputs(samples, cfg)
     _ensure_side_bams(samples, cfg.verbose)
     stats = [InsertStats.from_bam(s.full) for s in samples]
     if cfg.verbose:

@@ -292,3 +292,77 @@ def test_exclude_mask():
     assert m.overlaps("chr1", 290, 400)
     assert not m.overlaps("chr1", 300, 400)
     assert not m.overlaps("chr3", 0, 10)
+
+
+# ---------------------------------------------------------------------------
+# CRAM 3.0 reader conformance (htslib java-written vectors + SAM truth)
+# ---------------------------------------------------------------------------
+
+HTSLIB_TEST_DIR = (
+    "/root/reference/src/samtools-1.3.1/htslib-1.3.1/test")
+
+
+def _cram_vs_sam(cram, sam, fa):
+    from speedseq_tpu.formats.cram import read_cram
+    from speedseq_tpu.formats.sam import read_sam
+
+    hdr, recs = read_cram(
+        f"{HTSLIB_TEST_DIR}/{cram}",
+        reference=(f"{HTSLIB_TEST_DIR}/{fa}" if fa else None))
+    th, truth = read_sam(f"{HTSLIB_TEST_DIR}/{sam}")
+    assert [n for n, _ in hdr.refs] == [n for n, _ in th.refs]
+    assert len(recs) == len(truth)
+    for a, b in zip(recs, truth):
+        assert (a.qname, a.flag, a.tid, a.pos, a.mapq) == (
+            b.qname, b.flag, b.tid, b.pos, b.mapq), (a.qname, b.qname)
+        assert a.cigar == b.cigar, a.qname
+        assert a.seq == b.seq and a.qual == b.qual, a.qname
+        assert (a.mtid, a.mpos, a.tlen) == (b.mtid, b.mpos, b.tlen), a.qname
+        assert sorted(a.tags) == sorted(b.tags), a.qname
+
+
+def test_cram_ce5b_exact():
+    """Mapped reads with mismatches/deletions/softclips/insertions and a
+    SEQ=* secondary — every field must equal the SAM truth."""
+    _cram_vs_sam("ce#5b_java.cram", "ce#5b.sam", "ce.fa")
+
+
+def test_cram_large_aux_exact():
+    """Paired reads with a large aux-tag surface (incl. mate linkage and
+    TLEN reconstruction)."""
+    _cram_vs_sam("xx#large_aux_java.cram", "xx#large_aux.sam", "xx.fa")
+
+
+def test_cram_aux_types_decode():
+    """Every aux tag type (A/i/f/Z/H/B with all array subtypes) decodes;
+    no reference needed (bases come back as N)."""
+    from speedseq_tpu.formats.cram import read_cram
+
+    hdr, recs = read_cram(f"{HTSLIB_TEST_DIR}/aux#aux_java.cram")
+    assert len(recs) == 2
+    tags = {t: (typ, v) for t, typ, v in recs[1].tags}
+    assert tags["Bi"] == ("B", ("i", [-2147483648, -2147483647, 0,
+                                      2147483647]))
+    assert tags["Bc"] == ("B", ("c", [-128, -127, 0, 127]))
+
+
+def test_cram_to_bam_roundtrip():
+    """CRAM → BAM conversion preserves every record through our BAM
+    codec (the sv CRAM-input path)."""
+    import tempfile
+
+    from speedseq_tpu.formats.bam import read_bam
+    from speedseq_tpu.formats.cram import cram_to_bam, is_cram
+    from speedseq_tpu.formats.sam import read_sam
+
+    assert is_cram(f"{HTSLIB_TEST_DIR}/ce#5b_java.cram")
+    with tempfile.TemporaryDirectory() as d:
+        out = f"{d}/ce.bam"
+        cram_to_bam(f"{HTSLIB_TEST_DIR}/ce#5b_java.cram", out,
+                    reference=f"{HTSLIB_TEST_DIR}/ce.fa")
+        hdr, recs = read_bam(out)
+        th, truth = read_sam(f"{HTSLIB_TEST_DIR}/ce#5b.sam")
+        assert len(recs) == len(truth)
+        for a, b in zip(recs, truth):
+            assert (a.qname, a.flag, a.tid, a.pos, a.cigar, a.seq) == (
+                b.qname, b.flag, b.tid, b.pos, b.cigar, b.seq)
