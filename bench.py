@@ -111,7 +111,10 @@ def main():
 
     to_fastq(os.path.join(d, "r1.fq"), os.path.join(d, "r2.fq"),
              names, s1, q1, s2, q2)
-    cfg = AlignConfig(batch_size=B, max_read_len=L)
+    # distinct SM names: the somatic bench below feeds e2e ("NORMAL") and
+    # svin ("TUMOR") as a pair — identical SMs would collapse to one VCF
+    # sample and skip the joint pooled-discrete path entirely
+    cfg = AlignConfig(batch_size=B, max_read_len=L, sample="NORMAL")
     # warm (compile path is shared with full_step but pipeline adds the
     # distro-estimation stats fetch variant)
     align_fastq(ref, os.path.join(d, "r1.fq"), os.path.join(d, "r2.fq"),
@@ -164,13 +167,30 @@ def main():
              names, s1m, q1m, s2m, q2m)
     svouts = align_fastq(
         ref, os.path.join(d, "m1.fq"), os.path.join(d, "m2.fq"),
-        out_prefix=os.path.join(d, "svin"), config=cfg)
+        out_prefix=os.path.join(d, "svin"),
+        config=AlignConfig(batch_size=B, max_read_len=L, sample="TUMOR",
+                           rg_id="T"))
     sample = SVSample("S1", svouts["bam"], svouts["splitters.bam"],
                       svouts["discordants.bam"])
     run_sv([sample], os.path.join(d, "warm.sv.vcf.gz"), SVConfig())
     t0 = time.perf_counter()
     run_sv([sample], os.path.join(d, "e2e.sv.vcf.gz"), SVConfig())
     sv_kbp_per_s = slice_bp / (time.perf_counter() - t0) / 1000.0
+
+    # ---- somatic: [normal, tumor] joint pooled-discrete engine ---------
+    # reuses the two BAMs already aligned above (e2e = "normal", svin =
+    # "tumor"); times the 2-sample window fan-out + the G×G joint
+    # genotype kernel + SSC filter (same per-core baseline as var: the
+    # reference's somatic IS freebayes, bin/speedseq:1059-1067)
+    from speedseq_tpu.var.somatic import SomaticConfig, run_somatic
+
+    scfg = SomaticConfig(threads=4)
+    run_somatic(ref, outs["bam"], svouts["bam"],
+                os.path.join(d, "warm.som.vcf.gz"), config=scfg)
+    t0 = time.perf_counter()
+    run_somatic(ref, outs["bam"], svouts["bam"],
+                os.path.join(d, "e2e.som.vcf.gz"), config=scfg)
+    som_kbp_per_s = slice_bp / (time.perf_counter() - t0) / 1000.0
 
     print(
         json.dumps(
@@ -188,6 +208,9 @@ def main():
                 "sv_kbp_per_s": round(sv_kbp_per_s, 1),
                 "sv_vs_baseline": round(
                     sv_kbp_per_s / CPU_CORE_SV_KBP_PER_S, 3),
+                "somatic_kbp_per_s": round(som_kbp_per_s, 1),
+                "somatic_vs_baseline": round(
+                    som_kbp_per_s / CPU_CORE_VAR_KBP_PER_S, 3),
             }
         )
     )

@@ -42,26 +42,15 @@ def filter_read_groups(
     new_header = SAMHeader(text="\n".join(lines) + "\n", refs=header.refs)
 
     if native.available():
-        from ..sv.columnar import read_bam_columns, record_sizes, ztag_strings
+        from ..sv.columnar import (
+            read_bam_columns, record_sizes, unique_ztag_values,
+        )
 
         refs, cols, blob = read_bam_columns(in_bam, with_blob=True)
-        off, ln_ = ztag_strings(cols, "RG")
-        aux = cols.aux_blob
-        # vectorized membership: per distinct RG length, gather the tag
-        # bytes into a matrix, unique the rows (a handful of RG ids),
-        # decode only those — no per-record Python walk
-        keep = np.zeros(cols.n, bool)
-        no_rg = off < 0
-        keep[no_rg] = "" in keep_set
-        have = np.nonzero(~no_rg)[0]
-        for L in np.unique(ln_[have]) if len(have) else []:
-            rows = have[ln_[have] == L]
-            if L == 0:
-                keep[rows] = "" in keep_set
-                continue
-            mat = aux[off[rows][:, None] + np.arange(L)[None, :]]
-            uniq, inv = np.unique(mat, axis=0, return_inverse=True)
-            ok = np.array([u.tobytes().decode() in keep_set for u in uniq])
+        keep = np.full(cols.n, "" in keep_set, bool)  # tag-less records
+        rows, uniqs, inv = unique_ztag_values(cols, "RG")
+        if len(rows):
+            ok = np.array([u in keep_set for u in uniqs], bool)
             keep[rows] = ok[inv]
         sizes = record_sizes(cols)
         starts = np.zeros(cols.n, np.int64)

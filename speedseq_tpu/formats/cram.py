@@ -705,7 +705,9 @@ class CRAMReader:
 
             self._fa = FastaFile(reference)
         self._ref_cache: Dict[int, np.ndarray] = {}
-        self._queue: List[SAMRecord] = []
+        from collections import deque
+
+        self._queue: "deque[SAMRecord]" = deque()
 
     # -- reference access ---------------------------------------------------
     def _ref_seq(self, rid: int) -> Optional[str]:
@@ -724,13 +726,11 @@ class CRAMReader:
     def __iter__(self):
         while True:
             if self._queue:
-                yield self._queue.pop(0)
+                yield self._queue.popleft()
                 continue
             try:
                 self._read_container()
             except EOFError:
-                return
-            if self._queue is None:
                 return
 
     def close(self):
@@ -840,11 +840,20 @@ class CRAMReader:
         if rec.cf & CF_DETACHED:
             rec.detached = True
             rec.mate_flags = self._ds_int(ch, "MF", core, ext)
+            # restore the mate bits MF carries for detached records
+            # (cram_decode.c:2101-2109: CRAM_M_REVERSE=1 → 0x1|0x20,
+            # CRAM_M_UNMAP=2 → 0x8; unpaired records drop the mate ref)
+            if rec.mate_flags & 0x1:
+                rec.bf |= _FPAIRED | _FMREVERSE
+            if rec.mate_flags & 0x2:
+                rec.bf |= _FMUNMAP
             if not ch.rn_preserved:
                 rec.name = self._ds_bytes(ch, "RN", core, ext)
             rec.mate_ref = self._ds_int(ch, "NS", core, ext)
             rec.mate_pos = self._ds_int(ch, "NP", core, ext)
             rec.tlen = self._ds_int(ch, "TS", core, ext)
+            if not rec.bf & _FPAIRED:
+                rec.mate_ref = -1
         elif rec.cf & CF_MATE_DOWNSTREAM:
             rec.nf = self._ds_int(ch, "NF", core, ext)
         # tags

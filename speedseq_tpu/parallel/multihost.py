@@ -75,7 +75,14 @@ class FileExchange:
     is tiny (new dup signatures per batch)."""
 
     def __init__(self, root: str, num_processes: int, process_id: int,
-                 timeout: float = 300.0, run_id: str = "run"):
+                 timeout: float = 300.0, run_id: Optional[str] = None):
+        if run_id is None:
+            # workers of one run share the launcher process, so a
+            # ppid-derived default is identical across them but differs
+            # between sequential runs — a CONSTANT default would let a
+            # reused exchange_dir satisfy allgather with the previous
+            # run's wave files (pass an explicit run_id in production)
+            run_id = f"run{os.getppid()}"
         self.root = root
         self.P = num_processes
         self.pid = process_id
@@ -158,7 +165,7 @@ class CollectiveExchange:
 
 
 def make_exchange(exchange_dir: str, num_processes: int, process_id: int,
-                  run_id: str = "run"):
+                  run_id: Optional[str] = None):
     """Collective transport when jax.distributed is up (real pods / the
     distributed CPU harness); filesystem transport otherwise."""
     import jax
@@ -232,7 +239,7 @@ def align_fastq_multihost(
     num_processes: int,
     process_id: int,
     exchange_dir: str,
-    run_id: str = "run",
+    run_id: Optional[str] = None,
 ) -> Optional[dict]:
     """One process's share of a multi-host align run.
 
@@ -290,7 +297,7 @@ def var_multihost(
     num_processes: int,
     process_id: int,
     exchange_dir: str,
-    run_id: str = "run",
+    run_id: Optional[str] = None,
     windows_bed: Optional[str] = None,
     config=None,
 ) -> Optional[str]:
@@ -371,6 +378,7 @@ def _var_worker_main(argv: List[str]) -> int:
         jax.config.update("jax_platforms", "cpu")
     (reference, bams, output, num_p, pid, exdir, run_id), rest = (
         argv[:7], argv[7:])
+    init_distributed(num_processes=int(num_p), process_id=int(pid))
     from ..var.engine import VarConfig
 
     cfg = VarConfig()
@@ -400,7 +408,7 @@ def _worker_main(argv: List[str]) -> int:
 
         jax.config.update("jax_platforms", "cpu")
     (reference, fq1, fq2, out_prefix, num_p, pid, exdir, batch_size,
-     insert), run_id = argv[:9], (argv[9] if len(argv) > 9 else "run")
+     insert), run_id = argv[:9], (argv[9] if len(argv) > 9 else None)
     from ..align.pipeline import AlignConfig
 
     m, s, mx, mn = (float(x) for x in insert.split(","))

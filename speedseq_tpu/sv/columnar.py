@@ -106,6 +106,35 @@ def ztag_strings(cols, tag: str):
         np.ascontiguousarray(cols.aux_off, np.int64), tag)
 
 
+def unique_ztag_values(cols, tag: str):
+    """Vectorized distinct-Z-tag lookup: (rows, uniques, inverse) where
+    ``rows`` are the record indices carrying the tag, ``uniques`` the
+    distinct decoded strings, and ``uniques[inverse[i]]`` the value of
+    record ``rows[i]``.  Per distinct tag length the bytes gather into a
+    matrix and np.unique over rows finds the handful of distinct values
+    — no per-record Python walk (shared by bamfilterrg and the var
+    multi-sample RG mapping)."""
+    off, ln = ztag_strings(cols, tag)
+    aux = cols.aux_blob
+    have = np.nonzero(off >= 0)[0]
+    out_rows, out_inv, uniqs = [], [], []
+    for L in (np.unique(ln[have]) if len(have) else []):
+        rows = have[ln[have] == L]
+        if L == 0:
+            out_rows.append(rows)
+            out_inv.append(np.full(len(rows), len(uniqs), np.int64))
+            uniqs.append("")
+            continue
+        mat = aux[off[rows][:, None] + np.arange(L)[None, :]]
+        u, inv = np.unique(mat, axis=0, return_inverse=True)
+        out_rows.append(rows)
+        out_inv.append(np.asarray(inv, np.int64) + len(uniqs))
+        uniqs.extend(x.tobytes().decode() for x in u)
+    if out_rows:
+        return np.concatenate(out_rows), uniqs, np.concatenate(out_inv)
+    return np.zeros(0, np.int64), [], np.zeros(0, np.int64)
+
+
 def mate_ref_lengths(cols, default: int) -> np.ndarray:
     """(n,) mate reference span from the MC tag; ``default`` where the
     tag is absent (the reference uses read_len there too)."""

@@ -319,8 +319,8 @@ class SVGenotyper:
         # one sorted sweep: window [pos-w-max_span, pos+w) per (call, side)
         tt = np.stack([tid1, tid2], 1).astype(np.int64)     # (C, 2)
         pp = np.stack([pos1, pos2], 1).astype(np.int64)
-        lo_key = (tt << 34) | np.maximum(pp - w - max_span, 0)
-        hi_key = (tt << 34) | np.maximum(pp + w, 0)
+        lo_key = (tt << 34) + np.maximum(pp - w - max_span, 0) + 1
+        hi_key = (tt << 34) + np.maximum(pp + w, 0) + 1
         a = np.searchsorted(keys, lo_key.ravel()).reshape(C, 2)
         b = np.searchsorted(keys, hi_key.ravel()).reshape(C, 2)
         R = 8
@@ -401,8 +401,11 @@ class SVGenotyper:
         mend = mpos + mrl
         max_span = int(np.maximum(endp - pos, 0).max()) if len(pos) else 0
         self._mapq = mapq.astype(np.int32)
-        # searchsorted keys use pos (not pos+1) bounds: rebuild without +1
-        skeys = (np.where(tid < 0, np.int64(2**20 - 1), tid) << 34) | pos
+        # searchsorted keys: ADD (pos+1), never OR — unmapped tail records
+        # have pos = -1 and a bitwise OR with -1 produced -1, breaking the
+        # sorted invariant and silently emptying every gather window
+        skeys = (np.where(tid < 0, np.int64(2**20 - 1), tid) << 34) \
+            + (pos + 1)
         self._cols_cache = (
             skeys, pos.astype(np.int32), endp.astype(np.int32),
             tid.astype(np.int32), mtid.astype(np.int32),

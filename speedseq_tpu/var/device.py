@@ -288,13 +288,18 @@ def _pooled_joint_jit(gl, lp):
 
 
 def pooled_joint_genotypes(gl: np.ndarray, theta: float) -> JointGenotypes:
-    """Host wrapper over the joint kernel (S can be any size — the joint
-    space is tiny, G² = 100)."""
+    """Host wrapper over the joint kernel.  The site axis is padded to a
+    64-bucket so XLA compiles once per bucket, not once per distinct
+    window site count (a fresh compile per window made somatic ~5×
+    slower than var on the relay)."""
+    S = gl.shape[0]
+    Sp = _bucket(S, 64)
+    gl_p = _pad_axis(np.asarray(gl, np.float32), 0, Sp, 0.0)
     lp = jnp.asarray(_esf_log_prior_table(float(theta)))
-    gn, gt, gq, qual = _pooled_joint_jit(jnp.asarray(gl, jnp.float32), lp)
+    gn, gt, gq, qual = (np.asarray(x) for x in
+                        _pooled_joint_jit(jnp.asarray(gl_p), lp))
     return JointGenotypes(
-        gn=np.asarray(gn), gt=np.asarray(gt),
-        gq=np.asarray(gq), qual=np.asarray(qual))
+        gn=gn[:S], gt=gt[:S], gq=gq[:S], qual=qual[:S])
 
 
 def _genotype_sites_sharded(mesh, args, n_samples: int):

@@ -140,24 +140,16 @@ def _columnar_sample_ids(
         return np.full(cols.n, default_map.get(bi, 0), np.int32)
     if len(bam_samples) == 1:
         return np.full(cols.n, next(iter(bam_samples)), np.int32)
-    # multi-sample BAM: vectorized RG:Z lookup — per distinct tag
-    # length, gather the tag bytes, unique the rows (a handful of RG
-    # ids), decode only those (no per-record aux walk)
-    from ..sv.columnar import ztag_strings
+    # multi-sample BAM: vectorized distinct-RG:Z lookup (shared helper,
+    # sv/columnar.unique_ztag_values — no per-record aux walk)
+    from ..sv.columnar import unique_ztag_values
 
     out = np.full(cols.n, default_map.get(bi, 0), np.int32)
-    off, ln_ = ztag_strings(cols, "RG")
-    aux = cols.aux_blob
-    have = np.nonzero(off >= 0)[0]
-    for L in np.unique(ln_[have]) if len(have) else []:
-        rows = have[ln_[have] == L]
-        if L == 0:
-            continue
-        mat = aux[off[rows][:, None] + np.arange(L)[None, :]]
-        uniq, inv = np.unique(mat, axis=0, return_inverse=True)
+    rows, uniqs, inv = unique_ztag_values(cols, "RG")
+    if len(rows):
         ids = np.array([
-            rg_map.get((bi, u.tobytes().decode()), default_map.get(bi, 0))
-            for u in uniq], np.int32)
+            rg_map.get((bi, u), default_map.get(bi, 0)) for u in uniqs],
+            np.int32)
         out[rows] = ids[inv]
     return out
 

@@ -452,3 +452,49 @@ def test_mean_shift_keeps_abrupt_boundary():
     dels = [c for c in calls if c.kind == "deletion"]
     assert len(dels) == 1
     assert dels[0].start == 150 * 100 and dels[0].end == 250 * 100
+
+
+def test_device_svtyper_unmapped_tail(tmp_path):
+    """A coordinate-sorted BAM with an unmapped tail (tid=-1, pos=-1)
+    must not break the batch genotyper's sorted-key windows (a bitwise
+    OR with pos=-1 previously produced non-monotonic keys and silently
+    emptied every gather window)."""
+    from speedseq_tpu import native
+    from speedseq_tpu.formats.bam import BAMWriter
+    from speedseq_tpu.formats.sam import SAMHeader, SAMRecord
+    from speedseq_tpu.sv.cluster import SVCall
+    from speedseq_tpu.sv.svtyper import SVGenotyper
+
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    hdr = SAMHeader(text="@SQ\tSN:c\tLN:100000\n", refs=[("c", 100000)])
+    recs = []
+    # clean crossings over a fake DEL breakpoint at 5000
+    for i in range(12):
+        p = 4950 + i * 4
+        recs.append(SAMRecord(
+            qname=f"m{i}", flag=0x1 | 0x2 | 0x20, tid=0, pos=p, mapq=60,
+            cigar=[(0, 100)], mtid=0, mpos=p + 200, tlen=300,
+            seq="A" * 100, qual="I" * 100))
+    # unmapped tail (samtools sort order places these last)
+    for i in range(6):
+        recs.append(SAMRecord(
+            qname=f"u{i}", flag=0x4 | 0x8 | 0x1, tid=-1, pos=-1, mapq=0,
+            cigar=[], mtid=-1, mpos=-1, tlen=0,
+            seq="C" * 50, qual="#" * 50))
+    bam = str(tmp_path / "t.bam")
+    with BAMWriter(bam, hdr) as w:
+        w.write_batch(recs)
+    stats = InsertStats.synthetic(300, 50)
+    call = SVCall(
+        svtype=DEL, tid1=0, pos1=5000, strand1=0, cipos=(0, 0),
+        cipos95=(0, 0), prpos=np.ones(1), tid2=0, pos2=7000, strand2=1,
+        ciend=(0, 0), ciend95=(0, 0), prend=np.ones(1), su=4, pe=4, sr=0,
+        sample_support={0: 4}, imprecise=True)
+    g = SVGenotyper(bam, None, stats)
+    batch = g.genotype_all([call])
+    percall = g.genotype(call)
+    g.close()
+    assert batch[0].dp == percall.dp > 0     # windows must not be empty
+    assert (batch[0].ro, batch[0].ao, batch[0].rs) == (
+        percall.ro, percall.ao, percall.rs)
