@@ -184,7 +184,9 @@ def main():
     # reference's somatic IS freebayes, bin/speedseq:1059-1067)
     from speedseq_tpu.var.somatic import SomaticConfig, run_somatic
 
-    scfg = SomaticConfig(threads=4)
+    # threads=1: at 4 windows the thread fan-out costs more than it
+    # overlaps (device dispatches serialize; host work is now native)
+    scfg = SomaticConfig(threads=1)
     run_somatic(ref, outs["bam"], svouts["bam"],
                 os.path.join(d, "warm.som.vcf.gz"), config=scfg)
     t0 = time.perf_counter()

@@ -143,6 +143,12 @@ def _load() -> Optional[ctypes.CDLL]:
             _p8, _pi64, _i64, ctypes.c_uint8, ctypes.c_uint8, _pi64, _pi64]
         lib.ssq_cigar_str_reflen.restype = _i64
         lib.ssq_cigar_str_reflen.argtypes = [_p8, _pi64, _pi64, _i64, _pi32]
+        _pi8 = ctypes.POINTER(ctypes.c_int8)
+        lib.ssq_pileup_expand.restype = _i64
+        lib.ssq_pileup_expand.argtypes = [
+            _i64, _pi64, _pi64, _p8, _p8, _pu32, _pi64, _pi64, _pi64,
+            _pi64, _pi8, _i64, _i64, _i64,
+            _pi8, _pi8, _pi32, _pi32, _pi32, _pi32]
         _lib = lib
         return _lib
 
@@ -258,6 +264,31 @@ def bam_encode(c: "BamColumns") -> bytes:
 
 
 _AUX_ABSENT = np.int32(-2**31)  # sentinel shared with ssq_build_aux
+
+
+def pileup_expand(pos, seq_off, seq_blob, qual_blob, cigar_blob,
+                  cig_lo, cig_hi, rstart, base_idx, strand,
+                  start: int, end: int, min_baseq: int,
+                  flat_proj, flat_qual, flat_rpos,
+                  base_counts, qual_sums, strand_counts) -> int:
+    """One-pass pileup expansion (see ssq_pileup_expand): fills the
+    span-compact flat layout + count matrices in place."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    return lib.ssq_pileup_expand(
+        len(pos), _np_ptr(pos, _i64), _np_ptr(seq_off, _i64),
+        _np_ptr(seq_blob, ctypes.c_uint8), _np_ptr(qual_blob, ctypes.c_uint8),
+        _np_ptr(cigar_blob, ctypes.c_uint32),
+        _np_ptr(cig_lo, _i64), _np_ptr(cig_hi, _i64),
+        _np_ptr(rstart, _i64), _np_ptr(base_idx, _i64),
+        _np_ptr(strand, ctypes.c_int8),
+        start, end, min_baseq,
+        _np_ptr(flat_proj, ctypes.c_int8), _np_ptr(flat_qual, ctypes.c_int8),
+        _np_ptr(flat_rpos, ctypes.c_int32),
+        _np_ptr(base_counts, ctypes.c_int32),
+        _np_ptr(qual_sums, ctypes.c_int32),
+        _np_ptr(strand_counts, ctypes.c_int32))
 
 
 def cigar_strings(cigar_blob: np.ndarray, cigar_off: np.ndarray):

@@ -611,4 +611,80 @@ int64_t ssq_gather_records(const uint8_t* blob, const int64_t* starts,
   return p - dst;
 }
 
+// Pileup expansion: per-base projection of aligned (M/=/X) cigar ops
+// into the window's span-compact flat layout + base/qual/strand counts,
+// one C pass (the numpy expansion was the var/somatic host bottleneck:
+// ~15 full passes + GIL-bound scatters over O(bases) arrays).
+// Layout contracts mirror var/pileup.build_pileup_columns exactly.
+int64_t ssq_pileup_expand(
+    int64_t R,                     // kept reads
+    const int64_t* pos,            // (R) absolute ref pos
+    const int64_t* seq_off,        // (R) offset into seq/qual blobs
+    const uint8_t* seq_blob,       // ASCII bases
+    const uint8_t* qual_blob,      // raw quals (0xFF = missing -> q30)
+    const uint32_t* cigar_blob,    // packed len<<4|op
+    const int64_t* cig_lo,         // (R) first op index
+    const int64_t* cig_hi,         // (R) one-past-last op index
+    const int64_t* rstart,         // (R) window-relative span start
+    const int64_t* base_idx,       // (R) flat span offset
+    const int8_t* strand,          // (R) 0 fwd / 1 rev
+    int64_t start, int64_t end, int64_t min_baseq,
+    int8_t* flat_proj,             // (total) pre-filled -1
+    int8_t* flat_qual,             // (total) pre-filled 0
+    int32_t* flat_rpos,            // (total) pre-filled -1
+    int32_t* base_counts,          // (L*5) zeroed
+    int32_t* qual_sums,            // (L*5) zeroed
+    int32_t* strand_counts         // (L*5*2) zeroed
+) {
+  static int8_t code_of[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; i++) code_of[i] = 4;
+    code_of['A'] = code_of['a'] = 0;
+    code_of['C'] = code_of['c'] = 1;
+    code_of['G'] = code_of['g'] = 2;
+    code_of['T'] = code_of['t'] = 3;
+    init = true;
+  }
+  for (int64_t r = 0; r < R; r++) {
+    int64_t rp = pos[r];
+    int64_t qp = 0;
+    const int64_t so = seq_off[r];
+    const int64_t b0 = base_idx[r] - start - rstart[r];
+    const int8_t st = strand[r];
+    for (int64_t ci = cig_lo[r]; ci < cig_hi[r]; ci++) {
+      const uint32_t cg = cigar_blob[ci];
+      const int64_t len = cg >> 4;
+      const int op = cg & 0xF;
+      const bool qcons = (op == 0 || op == 1 || op == 4 || op == 7 ||
+                          op == 8);
+      const bool rcons = (op == 0 || op == 2 || op == 3 || op == 7 ||
+                          op == 8);
+      if (qcons && rcons) {        // aligned M/=/X
+        int64_t a = rp > start ? rp : start;
+        int64_t b = rp + len < end ? rp + len : end;
+        for (int64_t p = a; p < b; p++) {
+          const int64_t qi = qp + (p - rp);
+          const int8_t code = code_of[seq_blob[so + qi]];
+          const uint8_t qraw = qual_blob[so + qi];
+          const int8_t q = qraw == 0xFF ? 30 : (qraw > 60 ? 60 : (int8_t)qraw);
+          const int64_t di = b0 + p;
+          flat_rpos[di] = (int32_t)qi;
+          flat_qual[di] = q;
+          if (q >= min_baseq) {
+            flat_proj[di] = code;
+            const int64_t col = p - start;
+            base_counts[col * 5 + code]++;
+            qual_sums[col * 5 + code] += q;
+            strand_counts[(col * 5 + code) * 2 + st]++;
+          }
+        }
+      }
+      if (qcons) qp += len;
+      if (rcons) rp += len;
+    }
+  }
+  return R;
+}
+
 }  // extern "C"

@@ -66,14 +66,19 @@ class SiteGenotypes(NamedTuple):
 def _genotype_sites_jit(
     obs: jnp.ndarray,        # (S, R) int8
     quals: jnp.ndarray,      # (S, R) f32
-    sample: jnp.ndarray,     # (R,) int32
+    sample: jnp.ndarray,     # (S, R) int32 — per-site read columns
     rpos: jnp.ndarray,       # (S, R) int32
-    strand: jnp.ndarray,     # (R,) int8
-    rlen_half: jnp.ndarray,  # (R,) f32
+    strand: jnp.ndarray,     # (S, R) int8
+    rlen_half: jnp.ndarray,  # (S, R) f32
     n_alts: jnp.ndarray,     # (S,) int32
     theta: jnp.ndarray,      # () f32
     n_samples: int,
 ):
+    """R here is the per-site COMPACTED read axis (only covering reads,
+    gathered by the host wrapper) — a window holds tens of thousands of
+    reads but each site is covered by ~depth of them, so the dense
+    (sites × all-window-reads) formulation wasted ~100-500× compute and
+    HBM on obs==-1 columns."""
     S, R = obs.shape
     A = MAX_ALTS
     G = N_GT
@@ -88,30 +93,30 @@ def _genotype_sites_jit(
     terms = jnp.where(cover[..., None],
                       jnp.log10(0.5 * pj + 0.5 * pk + eps), 0.0)
 
-    onehot = (sample[:, None] ==
-              jnp.arange(n_samples)[None, :]).astype(jnp.float32)  # (R, M)
-    # per-sample GL: one matmul over the read axis (MXU)
-    gl = jnp.einsum("srg,rm->smg", terms, onehot,
+    onehot = (sample[..., None] ==
+              jnp.arange(n_samples)[None, None, :]).astype(jnp.float32)
+    # per-sample GL: per-site matmul over the read axis (MXU)
+    gl = jnp.einsum("srg,srm->smg", terms, onehot,
                     preferred_element_type=jnp.float32)    # (S, M, G)
 
     covf = cover.astype(jnp.float32)
     reff = (obs == 0).astype(jnp.float32)
-    dp = jnp.einsum("sr,rm->sm", covf, onehot).astype(jnp.int32)
-    ro = jnp.einsum("sr,rm->sm", reff, onehot).astype(jnp.int32)
-    qr = jnp.einsum("sr,rm->sm", reff * quals, onehot).astype(jnp.int32)
+    dp = jnp.einsum("sr,srm->sm", covf, onehot).astype(jnp.int32)
+    ro = jnp.einsum("sr,srm->sm", reff, onehot).astype(jnp.int32)
+    qr = jnp.einsum("sr,srm->sm", reff * quals, onehot).astype(jnp.int32)
     altf = (obs[..., None] ==
             (1 + jnp.arange(A, dtype=obs.dtype))).astype(jnp.float32)
-    ao = jnp.einsum("sra,rm->sma", altf, onehot).astype(jnp.int32)
-    qa = jnp.einsum("sra,rm->sma", altf * quals[..., None],
+    ao = jnp.einsum("sra,srm->sma", altf, onehot).astype(jnp.int32)
+    qa = jnp.einsum("sra,srm->sma", altf * quals[..., None],
                     onehot).astype(jnp.int32)
 
     # per-alt placement / strand balance (pooled over samples)
     placed = altf * (rpos >= 0)[..., None].astype(jnp.float32)
-    left = (rpos.astype(jnp.float32) < rlen_half[None, :])
+    left = (rpos.astype(jnp.float32) < rlen_half)
     rpl = jnp.sum(placed * left[..., None].astype(jnp.float32),
                   axis=1).astype(jnp.int32)                 # (S, A)
     rpr = jnp.sum(placed, axis=1).astype(jnp.int32) - rpl
-    fwd = (strand == 0).astype(jnp.float32)[None, :, None]
+    fwd = (strand == 0).astype(jnp.float32)[..., None]
     saf = jnp.sum(altf * fwd, axis=1).astype(jnp.int32)
     sar = jnp.sum(altf, axis=1).astype(jnp.int32) - saf
 
@@ -171,13 +176,38 @@ def genotype_sites(
     n_samples: int,
     mesh=None,
 ) -> SiteGenotypes:
-    """Host wrapper: bucket-pad, run the fused device program, slice back.
+    """Host wrapper: compact the read axis per site (only covering
+    reads), bucket-pad, run the fused device program, slice back.
 
-    ``mesh`` (parallel.mesh) shards the site axis over the data axis —
-    the TPU counterpart of the reference's per-window process fan-out."""
+    ``sample``/``strand``/``rlen_half`` may be (R,) per-window-read
+    arrays (compacted here together with obs) or pre-compacted (S, R)
+    arrays.  ``mesh`` (parallel.mesh) shards the site axis over the
+    data axis — the TPU counterpart of the reference's per-window
+    process fan-out."""
+    obs = np.asarray(obs, np.int8)
+    quals = np.asarray(quals, np.float32)
+    rpos = np.asarray(rpos, np.int32)
+    sample = np.asarray(sample, np.int32)
+    strand = np.asarray(strand, np.int8)
+    rlen_half = np.asarray(rlen_half, np.float32)
     S, R = obs.shape
+    if sample.ndim == 1:
+        # per-site compaction: a window's read set is 100-1000× larger
+        # than any one site's coverage — gather covering reads to the
+        # front and truncate the read axis to the max coverage
+        cover = obs >= 0
+        max_cov = int(cover.sum(axis=1).max()) if S else 0
+        Rc = min(R, _bucket(max(max_cov, 1), 128))
+        idx = np.argsort(~cover, axis=1, kind="stable")[:, :Rc]
+        obs = np.take_along_axis(obs, idx, 1)
+        quals = np.take_along_axis(quals, idx, 1)
+        rpos = np.take_along_axis(rpos, idx, 1)
+        sample = sample[idx]
+        strand = strand[idx]
+        rlen_half = rlen_half[idx]
+        R = Rc
     Sp = _bucket(S, 64)
-    Rp = _bucket(R, 256)
+    Rp = _bucket(R, 128)
     if mesh is not None:
         Sp = _bucket(Sp, 64 * mesh.devices.size)
     obs_p = _pad_axis(_pad_axis(obs, 0, Sp, -1), 1, Rp, -1).astype(np.int8)
@@ -185,9 +215,9 @@ def genotype_sites(
                     ).astype(np.float32)
     rpos_p = _pad_axis(_pad_axis(rpos, 0, Sp, -1), 1, Rp, -1
                        ).astype(np.int32)
-    sam_p = _pad_axis(np.asarray(sample, np.int32), 0, Rp, -1)
-    str_p = _pad_axis(np.asarray(strand, np.int8), 0, Rp, 0)
-    rl_p = _pad_axis(np.asarray(rlen_half, np.float32), 0, Rp, 1.0)
+    sam_p = _pad_axis(_pad_axis(sample, 0, Sp, -1), 1, Rp, -1)
+    str_p = _pad_axis(_pad_axis(strand, 0, Sp, 0), 1, Rp, 0)
+    rl_p = _pad_axis(_pad_axis(rlen_half, 0, Sp, 1.0), 1, Rp, 1.0)
     na_p = _pad_axis(np.asarray(n_alts, np.int32), 0, Sp, MAX_ALTS)
 
     args = (obs_p, q_p, sam_p, rpos_p, str_p, rl_p, na_p,
@@ -323,7 +353,9 @@ def _genotype_sites_sharded(mesh, args, n_samples: int):
     fn = shard_map(
         functools.partial(_genotype_sites_jit, n_samples=n_samples),
         mesh=mesh,
-        in_specs=(s_axis, s_axis, rep, s_axis, rep, rep, s_axis, rep),
+        # every per-read array is per-site compacted now → site-sharded
+        in_specs=(s_axis, s_axis, s_axis, s_axis, s_axis, s_axis,
+                  s_axis, rep),
         out_specs=(s_axis,) * 4,
         **kw,
     )

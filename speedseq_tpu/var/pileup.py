@@ -331,8 +331,29 @@ def build_pileup_columns(
     flat_rpos = np.full(total, -1, np.int32)
 
     # ---- expand aligned (M/=/X) ops into per-base entries ---------------
-    op_keep = _CIG_ALIGNED[opc] & (new_id[rid_op] >= 0)
-    oi = np.nonzero(op_keep)[0]
+    # native one-pass expansion when available (the numpy version below
+    # is ~15 O(bases) passes with GIL-bound scatters — it was the
+    # var/somatic host bottleneck at deep-coverage window sizes)
+    from .. import native as _nat
+
+    if _nat.available():
+        _nat.pileup_expand(
+            np.ascontiguousarray(cols.pos[kidx].astype(np.int64)),
+            np.ascontiguousarray(cols.seq_off[:-1][kidx].astype(np.int64)),
+            np.ascontiguousarray(cols.seq_blob, np.uint8),
+            np.ascontiguousarray(cols.qual_blob, np.uint8),
+            np.ascontiguousarray(cols.cigar_blob, np.uint32),
+            np.ascontiguousarray(cols.cigar_off[:-1][kidx].astype(np.int64)),
+            np.ascontiguousarray(cols.cigar_off[1:][kidx].astype(np.int64)),
+            np.ascontiguousarray(rstart), np.ascontiguousarray(base_idx),
+            np.ascontiguousarray(strand, np.int8),
+            int(start), int(end), int(min_baseq),
+            flat_proj, flat_qual, flat_rpos,
+            base_counts, qual_sums, strand_counts)
+        oi = np.zeros(0, np.int64)
+    else:
+        op_keep = _CIG_ALIGNED[opc] & (new_id[rid_op] >= 0)
+        oi = np.nonzero(op_keep)[0]
     if len(oi):
         a = np.maximum(r_start[oi], start)
         b = np.minimum(r_start[oi] + lens[oi], end)
