@@ -275,7 +275,6 @@ def pileup_expand(pos, seq_off, seq_blob, qual_blob, cigar_blob,
     span-compact flat layout + count matrices in place."""
     lib = _load()
     assert lib is not None, "native library unavailable"
-    i8p = ctypes.POINTER(ctypes.c_int8)
     return lib.ssq_pileup_expand(
         len(pos), _np_ptr(pos, _i64), _np_ptr(seq_off, _i64),
         _np_ptr(seq_blob, ctypes.c_uint8), _np_ptr(qual_blob, ctypes.c_uint8),

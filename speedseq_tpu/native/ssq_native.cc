@@ -636,16 +636,21 @@ int64_t ssq_pileup_expand(
     int32_t* qual_sums,            // (L*5) zeroed
     int32_t* strand_counts         // (L*5*2) zeroed
 ) {
-  static int8_t code_of[256];
-  static bool init = false;
-  if (!init) {
-    for (int i = 0; i < 256; i++) code_of[i] = 4;
-    code_of['A'] = code_of['a'] = 0;
-    code_of['C'] = code_of['c'] = 1;
-    code_of['G'] = code_of['g'] = 2;
-    code_of['T'] = code_of['t'] = 3;
-    init = true;
-  }
+  // C++11 thread-safe local-static init (window threads call this
+  // concurrently with the GIL released — a hand-rolled init flag would
+  // be a data race)
+  struct BaseCodeTable {
+    int8_t t[256];
+    BaseCodeTable() {
+      for (int i = 0; i < 256; i++) t[i] = 4;
+      t['A'] = t['a'] = 0;
+      t['C'] = t['c'] = 1;
+      t['G'] = t['g'] = 2;
+      t['T'] = t['t'] = 3;
+    }
+  };
+  static const BaseCodeTable kCode;
+  const int8_t* code_of = kCode.t;
   for (int64_t r = 0; r < R; r++) {
     int64_t rp = pos[r];
     int64_t qp = 0;

@@ -196,12 +196,25 @@ def genotype_sites(
         # than any one site's coverage — gather covering reads to the
         # front and truncate the read axis to the max coverage
         cover = obs >= 0
-        max_cov = int(cover.sum(axis=1).max()) if S else 0
+        n_cov = cover.sum(axis=1)
+        max_cov = int(n_cov.max()) if S else 0
         Rc = min(R, _bucket(max(max_cov, 1), 128))
-        idx = np.argsort(~cover, axis=1, kind="stable")[:, :Rc]
+        # stable partition via cumsum ranks — O(S·R) with an int32
+        # scatter (a full argsort materialized an (S, R) int64
+        # permutation, 8× the obs matrix, for the same order)
+        idx = np.zeros((S, Rc), np.int32)
+        s_i, r_i = np.nonzero(cover)
+        dst = (np.cumsum(cover, axis=1) - 1)[s_i, r_i]
+        keepm = dst < Rc
+        idx[s_i[keepm], dst[keepm]] = r_i[keepm]
         obs = np.take_along_axis(obs, idx, 1)
+        # slots beyond a site's coverage gathered read 0's values —
+        # force them back to "no observation"
+        invalid = np.arange(Rc)[None, :] >= n_cov[:, None]
+        obs[invalid] = -1
         quals = np.take_along_axis(quals, idx, 1)
         rpos = np.take_along_axis(rpos, idx, 1)
+        rpos[invalid] = -1
         sample = sample[idx]
         strand = strand[idx]
         rlen_half = rlen_half[idx]
