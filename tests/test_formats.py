@@ -366,3 +366,58 @@ def test_cram_to_bam_roundtrip():
         for a, b in zip(recs, truth):
             assert (a.qname, a.flag, a.tid, a.pos, a.cigar, a.seq) == (
                 b.qname, b.flag, b.tid, b.pos, b.cigar, b.seq)
+
+
+def test_sam_bam_roundtrip_all_htslib_vectors(tmp_path):
+    """Sweep EVERY SAM vector in the vendored htslib test dir through
+    SAM-parse → BAM-write → BAM-read → SAM-text: field-exact on all 32
+    fixtures (pads, bounds, unknown-length refs, large seqs, blank
+    lines, unmapped variants, padded/depadded tags…)."""
+    import glob
+
+    from speedseq_tpu.formats.bam import BAMWriter, read_bam
+    from speedseq_tpu.formats.sam import read_sam
+
+    d = "/root/reference/src/samtools-1.3.1/htslib-1.3.1/test"
+    skipped = []
+    n_files = n_recs = 0
+    for path in sorted(glob.glob(f"{d}/*.sam")):
+        name = os.path.basename(path)
+        try:
+            hdr, recs = read_sam(path)
+        except Exception as e:  # noqa: BLE001 — collect, assert below
+            skipped.append((name, f"parse: {e}"))
+            continue
+        out = str(tmp_path / (name.replace("#", "_") + ".bam"))
+        try:
+            with BAMWriter(out, hdr) as w:
+                w.write_batch(recs)
+            hdr2, recs2 = read_bam(out)
+        except Exception as e:  # noqa: BLE001
+            skipped.append((name, f"roundtrip: {e}"))
+            continue
+        assert len(recs2) == len(recs), name
+        for a, b in zip(recs, recs2):
+            assert (a.qname, a.flag, a.tid, a.pos, a.mapq, a.cigar,
+                    a.mtid, a.mpos, a.tlen, a.seq, a.qual) == (
+                b.qname, b.flag, b.tid, b.pos, b.mapq, b.cigar,
+                b.mtid, b.mpos, b.tlen, b.seq, b.qual), (name, a.qname)
+            for ta, tb in zip(sorted(a.tags), sorted(b.tags)):
+                assert ta[0] == tb[0], (name, a.qname, ta, tb)
+                va, vb = ta[2], tb[2]
+                if isinstance(va, float):
+                    # BAM stores 'f' tags as float32 — text round-trips
+                    # through the f32 value
+                    assert np.float32(va) == np.float32(vb), (name, ta, tb)
+                elif (isinstance(va, tuple) and va
+                      and va[0] == "f"):
+                    assert ([np.float32(x) for x in va[1]]
+                            == [np.float32(x) for x in vb[1]]), (name, ta)
+                else:
+                    assert ta == tb, (name, a.qname, ta, tb)
+        n_files += 1
+        n_recs += len(recs)
+    print(f"\n[conformance] {n_files} SAM vectors, {n_recs} records "
+          f"round-tripped; skipped: {skipped}")
+    assert not skipped, skipped
+    assert n_files >= 30
