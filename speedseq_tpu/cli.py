@@ -22,8 +22,9 @@ def _warn_vep(args) -> None:
     emitted vcf.gz directly (documented in README 'Deliberate deviations')."""
     if getattr(args, "A", False):
         print(
-            "warning: -A (VEP annotation) is not bundled; run VEP on the "
-            "output vcf.gz directly",
+            "warning: -A (Ensembl VEP) is not bundled; use --gff FILE for "
+            "the bundled GFF-driven annotator (CSQ fields), or run VEP on "
+            "the output vcf.gz directly",
             file=sys.stderr,
         )
 
@@ -155,6 +156,10 @@ def cmd_var(args) -> int:
             min_qual=args.q, threads=_threads(args, kcfg), verbose=args.v
         ),
     )
+    if args.gff:
+        from .var.annotate import annotate_vcf
+
+        annotate_vcf(output, args.gff, args.reference)
     print(output)
     return 0
 
@@ -187,6 +192,10 @@ def cmd_somatic(args) -> int:
             verbose=args.v,
         ),
     )
+    if args.gff:
+        from .var.annotate import annotate_vcf
+
+        annotate_vcf(output, args.gff, args.reference)
     print(output)
     return 0
 
@@ -239,6 +248,14 @@ def cmd_sv(args) -> int:
             verbose=args.v,
         ),
     )
+    if args.gff:
+        if not args.R:
+            print("error: --gff annotation needs -R reference",
+                  file=sys.stderr)
+            return 1
+        from .var.annotate import annotate_vcf
+
+        annotate_vcf(output, args.gff, args.R, sv_routing=True)
     print(output)
     return 0
 
@@ -299,6 +316,9 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("var", help="call SNVs/indels (FreeBayes-equivalent)")
     common(v)
     v.add_argument("-w", metavar="FILE", help="BED of genomic windows ('default' = shipped depth-balanced BED)")
+    v.add_argument("--gff", metavar="FILE",
+                   help="GFF3/GTF for bundled functional annotation "
+                   "(CSQ fields; VEP-surface, var/annotate.py)")
     v.add_argument("-q", type=float, default=1.0, metavar="FLOAT", help="min QUAL [1]")
     v.add_argument("-A", action="store_true", help="annotate with VEP (external; not bundled)")
     v.add_argument("reference")
@@ -308,6 +328,8 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("somatic", help="tumor/normal somatic calling")
     common(s)
     s.add_argument("-w", metavar="FILE")
+    s.add_argument("--gff", metavar="FILE",
+                   help="GFF3/GTF for bundled functional annotation")
     s.add_argument("-q", type=float, default=1e-5, metavar="FLOAT",
                    help="min QUAL for non-passing somatic [1e-5]")
     s.add_argument("-F", type=float, default=0.05, metavar="FLOAT",
@@ -330,6 +352,9 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("-D", metavar="FILE", help="discordants BAM(s)")
     sv.add_argument("-R", metavar="FILE", help="reference fasta (for -d)")
     sv.add_argument("-x", metavar="FILE", help="exclude BED ('default' = shipped LUMPY exclude BED)")
+    sv.add_argument("--gff", metavar="FILE",
+                    help="GFF3/GTF for bundled functional annotation "
+                    "(reference routing: chr1-22/X/Y, BND or |SVLEN|<=50kb)")
     sv.add_argument("-g", action="store_true", help="genotype breakends")
     sv.add_argument("-d", action="store_true", help="read-depth CNV annotation")
     sv.add_argument("-w", type=int, default=100, metavar="INT", help="CNV window [100]")

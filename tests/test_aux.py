@@ -439,3 +439,128 @@ def test_cli_default_annotation_resolution():
 
     with _pytest.raises(SystemExit):
         _resolve_windows("default", kcfg2)
+
+
+# ---------------------------------------------------------------------------
+# bundled functional annotation (var/annotate.py — VEP-surface from GFF)
+# ---------------------------------------------------------------------------
+
+def _annot_world(tmp_path):
+    """Toy genome + GTF: one + strand coding gene, one - strand gene.
+
+    chrom 'c' (120 bp):
+      geneA (+): exons 21-50, 61-90; CDS 31-50, 61-80
+      geneB (-): exon 96-110, CDS 96-110
+    """
+    from speedseq_tpu.var.annotate import Annotator
+
+    # build a genome whose CDS translates cleanly: CDS A (40 bases)
+    # = ATG GCT GCT ... ; place known codons at known offsets
+    g = ["A"] * 120
+    cdsA = "ATGGCTTGGAAACGTACGTACGTACGTACGTACGTACTAA"  # 40 bases: M A W K ...
+    for i, ch in enumerate(cdsA[:20]):
+        g[30 + i] = ch          # CDS part 1: 31-50 (1-based)
+    for i, ch in enumerate(cdsA[20:]):
+        g[60 + i] = ch          # CDS part 2: 61-80
+    cdsB = "ATGTTTTAA"[::-1].translate(
+        str.maketrans("ACGT", "TGCA"))  # revcomp → genome + strand text
+    for i, ch in enumerate(cdsB):
+        g[95 + i] = ch          # 96-104 on '-' strand reads ATG TTT TAA
+    fa = str(tmp_path / "ann.fa")
+    with open(fa, "w") as fh:
+        fh.write(">c\n" + "".join(g) + "\n")
+    gtf = str(tmp_path / "ann.gtf")
+    with open(gtf, "w") as fh:
+        fh.write("\n".join([
+            'c\tx\ttranscript\t21\t90\t.\t+\t.\tgene_id "GA"; '
+            'transcript_id "TA"; gene_name "ALPHA"; '
+            'gene_biotype "protein_coding";',
+            'c\tx\texon\t21\t50\t.\t+\t.\tgene_id "GA"; transcript_id "TA";',
+            'c\tx\texon\t61\t90\t.\t+\t.\tgene_id "GA"; transcript_id "TA";',
+            'c\tx\tCDS\t31\t50\t.\t+\t0\tgene_id "GA"; transcript_id "TA";',
+            'c\tx\tCDS\t61\t80\t.\t+\t0\tgene_id "GA"; transcript_id "TA";',
+            'c\tx\ttranscript\t96\t110\t.\t-\t.\tgene_id "GB"; '
+            'transcript_id "TB"; gene_name "BETA";',
+            'c\tx\texon\t96\t110\t.\t-\t.\tgene_id "GB"; transcript_id "TB";',
+            'c\tx\tCDS\t96\t104\t.\t-\t0\tgene_id "GB"; transcript_id "TB";',
+        ]) + "\n")
+    return Annotator(gtf, fa)
+
+
+def _cons(ann, pos1, ref, alt, feature=None):
+    out = ann.csq("c", pos1 - 1, ref, [alt])
+    assert out is not None
+    for entry in out.split(","):
+        f = entry.split("|")
+        if feature is None or f[5] == feature:
+            return f
+    raise AssertionError(out)
+
+
+def test_annotate_consequences(tmp_path):
+    ann = _annot_world(tmp_path)
+    # CDS A codon 2 = GCT (Ala) at genomic 34-36
+    f = _cons(ann, 35, "C", "G", "TA")      # GCT→GGT: Ala→Gly missense
+    assert f[0] == "missense_variant"
+    assert f[1] == "gCt/gGt" and f[2] == "A/G"
+    assert (f[3], f[4], f[10]) == ("GA", "ALPHA", "protein_coding")
+    assert f[9] == "2"                       # protein position
+    f = _cons(ann, 36, "T", "C", "TA")      # GCT→GCC still Ala
+    assert f[0] == "synonymous_variant" and f[2] == "A"
+    f = _cons(ann, 39, "G", "A", "TA")      # TGG(Trp)→TGA stop
+    assert f[0] == "stop_gained" and f[2] == "W/*"
+    f = _cons(ann, 32, "T", "C", "TA")      # ATG start codon hit
+    assert f[0] == "start_lost"
+    f = _cons(ann, 25, "A", "T", "TA")      # exon 1, before CDS
+    assert f[0] == "5_prime_UTR_variant" and f[6] == "1/2"
+    f = _cons(ann, 85, "A", "T", "TA")      # exon 2, after CDS
+    assert f[0] == "3_prime_UTR_variant"
+    f = _cons(ann, 55, "A", "T", "TA")      # intron
+    assert f[0] == "intron_variant"
+    f = _cons(ann, 51, "A", "T", "TA")      # first intron base
+    assert f[0] == "splice_donor_variant"
+    f = _cons(ann, 59, "A", "T", "TA")      # 2 bases before exon 2
+    assert f[0] == "splice_acceptor_variant"
+    f = _cons(ann, 35, "C", "CG", "TA")     # +1 bp in CDS
+    assert f[0] == "frameshift_variant"
+    f = _cons(ann, 35, "CTT", "C", "TA")    # hmm len diff 2 → frameshift
+    assert f[0] == "frameshift_variant"
+    f = _cons(ann, 16, "A", "T", "TA")      # 5 bp before transcript
+    assert f[0] == "upstream_gene_variant"
+    # minus-strand gene: genomic 103 is CDS-B offset 1 (codon ATG)
+    f = _cons(ann, 102, "A", "T", "TB")
+    assert f[0] in ("missense_variant", "start_lost", "stop_gained",
+                    "synonymous_variant", "stop_lost")
+    # a chrom with no annotated genes at all
+    out = ann.csq("chrEmpty", 0, "A", ["T"])
+    assert out.split("|")[0] == "intergenic_variant"
+    ann.close()
+
+
+def test_annotate_vcf_cli(tmp_path):
+    """var --gff end-to-end: the output vcf.gz gains a CSQ header and
+    per-record CSQ entries with the reference's pinned field count."""
+    import gzip as _gz
+
+    from speedseq_tpu.formats.vcf import VCFHeader, VCFRecord, VCFWriter
+    from speedseq_tpu.var.annotate import annotate_vcf
+
+    ann = _annot_world(tmp_path)   # writes ann.fa / ann.gtf
+    ann.close()
+    h = VCFHeader.build([("c", 120)], ["S"], source="t")
+    h.add_format("GT", "1", "String", "Genotype")
+    out = str(tmp_path / "x.vcf.gz")
+    with VCFWriter(out, h) as w:
+        w.write(VCFRecord(chrom="c", pos=34, id=".", ref="C", alt=["G"],
+                          qual=50.0, filter=".", info={}, format=["GT"],
+                          samples=[{"GT": "0/1"}]))
+    annotate_vcf(out, str(tmp_path / "ann.gtf"), str(tmp_path / "ann.fa"))
+    lines = [l for l in _gz.open(out, "rt")]
+    assert any(l.startswith("##INFO=<ID=CSQ") for l in lines)
+    body = [l for l in lines if not l.startswith("#")]
+    assert "CSQ=" in body[0]
+    csq = [kv for kv in body[0].split("\t")[7].split(";")
+           if kv.startswith("CSQ=")][0][4:]
+    first = csq.split(",")[0].split("|")
+    assert len(first) == 11                  # pinned VEP field list
+    assert first[0] == "missense_variant"
