@@ -51,29 +51,48 @@ def _open(path: str):
 
 
 def iter_records(path: str) -> Iterator[Tuple[str, str, bytes, bytes]]:
-    """Yield (name, comment, seq_bytes, qual_bytes) per record."""
+    """Yield (name, comment, seq_bytes, qual_bytes) per record.
+
+    Chunked: the stream is read in 4 MiB blocks and split into lines in
+    one C pass (a per-record readline loop was the e2e pipeline's
+    largest single host cost)."""
     with _open(path) as fh:
+        tail = b""
+        carry: List[bytes] = []
         while True:
-            hdr = fh.readline()
-            if not hdr:
+            chunk = fh.read(1 << 22)
+            if not chunk:
+                if tail.strip() or carry:
+                    lines = carry + ([tail] if tail.strip() else [])
+                    if len(lines) % 4:
+                        raise ValueError("truncated FASTQ record")
+                    yield from _parse_lines(lines)
                 return
-            hdr = hdr.rstrip(b"\r\n")
-            if not hdr:
-                continue
-            if not hdr.startswith(b"@"):
-                raise ValueError(f"bad FASTQ header: {hdr[:50]!r}")
-            seq = fh.readline().rstrip(b"\r\n")
-            plus = fh.readline()
-            qual = fh.readline().rstrip(b"\r\n")
-            if not plus.startswith(b"+") or len(seq) != len(qual):
-                raise ValueError("malformed FASTQ record")
-            parts = hdr[1:].split(None, 1)
-            name = parts[0].decode()
-            # bwa strips trailing /1 /2 mate markers from read names
-            if len(name) > 2 and name[-2] == "/" and name[-1] in "12":
-                name = name[:-2]
-            comment = parts[1].decode() if len(parts) > 1 else ""
-            yield name, comment, seq, qual
+            lines = (tail + chunk).split(b"\n")
+            tail = lines.pop()
+            lines = carry + [l for l in lines if l]
+            nl = len(lines) - (len(lines) % 4)
+            carry = lines[nl:]
+            yield from _parse_lines(lines[:nl])
+
+
+def _parse_lines(lines: List[bytes]):
+    for i in range(0, len(lines), 4):
+        hdr = lines[i].rstrip(b"\r")
+        seq = lines[i + 1].rstrip(b"\r")
+        plus = lines[i + 2]
+        qual = lines[i + 3].rstrip(b"\r")
+        if not hdr.startswith(b"@"):
+            raise ValueError(f"bad FASTQ header: {hdr[:50]!r}")
+        if not plus.startswith(b"+") or len(seq) != len(qual):
+            raise ValueError("malformed FASTQ record")
+        parts = hdr[1:].split(None, 1)
+        name = parts[0].decode()
+        # bwa strips trailing /1 /2 mate markers from read names
+        if len(name) > 2 and name[-2] == "/" and name[-1] in "12":
+            name = name[:-2]
+        comment = parts[1].decode() if len(parts) > 1 else ""
+        yield name, comment, seq, qual
 
 
 def _batch(records, max_len: int) -> ReadBatch:
@@ -83,18 +102,24 @@ def _batch(records, max_len: int) -> ReadBatch:
     # paying kernel width for a 151 bp cap on 100 bp data)
     width = max((len(r[2]) for r in records), default=1)
     width = min(max_len, ((width + 15) // 16) * 16)
-    seq = np.full((n, width), 4, dtype=np.uint8)
-    qual = np.zeros((n, width), dtype=np.uint8)
-    length = np.zeros(n, dtype=np.int32)
-    names, comments = [], []
-    for i, (name, comment, s, q) in enumerate(records):
-        L = min(len(s), width)
-        seq[i, :L] = encode_bases(s[:L])
-        qual[i, :L] = np.frombuffer(q[:L], dtype=np.uint8) - 33
-        length[i] = L
-        names.append(name)
-        comments.append(comment)
-    return ReadBatch(seq, qual, length, names, comments)
+    # vectorized encode: one concatenated buffer + one table gather
+    # (per-record encode_bases/frombuffer calls dominated _batch)
+    full_lens = np.fromiter((len(r[2]) for r in records), np.int64, n)
+    length = np.minimum(full_lens, width).astype(np.int32)
+    cat_s = np.frombuffer(b"".join(r[2] for r in records), np.uint8)
+    cat_q = np.frombuffer(b"".join(r[3] for r in records), np.uint8)
+    offs = np.zeros(n, np.int64)
+    np.cumsum(full_lens[:-1], out=offs[1:])
+    idx = offs[:, None] + np.arange(width)[None, :]
+    valid = np.arange(width)[None, :] < length[:, None]
+    idx = np.where(valid, idx, 0)
+    seq = np.where(valid, encode_bases(cat_s)[idx] if len(cat_s)
+                   else np.uint8(4), np.uint8(4))
+    qual = np.where(valid, (cat_q[idx] - 33) if len(cat_q)
+                    else np.uint8(0), np.uint8(0)).astype(np.uint8)
+    names = [r[0] for r in records]
+    comments = [r[1] for r in records]
+    return ReadBatch(seq.astype(np.uint8), qual, length, names, comments)
 
 
 def iter_batches(
