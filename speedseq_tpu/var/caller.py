@@ -227,36 +227,42 @@ def _collect_atoms(
     atoms = []
 
     # ---- SNVs: pooled-count prefilter, then per-sample -C/-F ------------
+    # per-sample admission is fully vectorized: one bincount over the
+    # span-compact flat pileup yields (L, 5, M) sample-stratified base
+    # counts, so no per-candidate p.col() gathers or per-sample Python
+    # loops run (they were ~10% of somatic wall time at -F 0.05)
     counts = p.base_counts[:, :4]
     ref_safe = np.minimum(ref_codes, 3)
     alt_counts = counts.copy()
     alt_counts[np.arange(L), ref_safe] = 0
-    cand_off = np.nonzero(
-        (alt_counts.max(axis=1) >= cfg.min_alternate_count) & (ref_codes < 4)
-    )[0]
-    for off in cand_off:
-        col, _, _ = p.col(int(off))
-        covered = col >= 0
-        for alt_code in np.nonzero(alt_counts[off] >= cfg.min_alternate_count)[0]:
-            is_alt = covered & (col == alt_code)
-            ok = False
-            for si in range(n_samples):
-                m = sample_of_read == si
-                ac = int((is_alt & m).sum())
-                dps = int((covered & m).sum())
-                if ac >= cfg.min_alternate_count and dps > 0 and (
-                    ac / dps >= cfg.min_alternate_fraction
-                ):
-                    ok = True
-                    break
-            if ok:
-                atoms.append(
-                    dict(
-                        kind="snp", off=int(off), alt_code=int(alt_code),
-                        count=int(alt_counts[off, alt_code]),
-                        span=(int(off), int(off) + 1),
-                    )
-                )
+    M = n_samples
+    spans = (p.rend - p.rstart).astype(np.int64)
+    rid_flat = np.repeat(np.arange(len(spans), dtype=np.int64), spans)
+    col_flat = (np.arange(len(p.flat_proj), dtype=np.int64)
+                - np.repeat(p.base_idx, spans)
+                + np.repeat(p.rstart.astype(np.int64), spans))
+    good = p.flat_proj >= 0
+    fi = ((col_flat[good] * 5 + p.flat_proj[good]) * M
+          + sample_of_read[rid_flat[good]])
+    counts_sm = np.bincount(fi, minlength=L * 5 * M).reshape(L, 5, M)
+    depth_sm = counts_sm.sum(axis=1)                       # (L, M)
+    frac_ok = (counts_sm[:, :4]
+               >= np.maximum(cfg.min_alternate_count,
+                             np.ceil(cfg.min_alternate_fraction
+                                     * depth_sm[:, None, :])))
+    frac_ok &= depth_sm[:, None, :] > 0
+    admit = frac_ok.any(axis=2)                            # (L, 4)
+    admit &= alt_counts >= cfg.min_alternate_count
+    admit[np.arange(L), ref_safe] = False
+    admit &= (ref_codes < 4)[:, None]
+    for off, alt_code in zip(*np.nonzero(admit)):
+        atoms.append(
+            dict(
+                kind="snp", off=int(off), alt_code=int(alt_code),
+                count=int(alt_counts[off, alt_code]),
+                span=(int(off), int(off) + 1),
+            )
+        )
 
     # ---- indels ---------------------------------------------------------
     groups: Dict[Tuple[int, bool, int, str], List[int]] = {}
@@ -807,21 +813,21 @@ def call_window(
     n_alts = np.array([len(l.alts) for l in loci], np.int32)
     rpos = np.stack([p.col(l.anchor)[2] for l in loci])    # (S, R)
 
-    from .device import genotype_sites, pooled_joint_genotypes
+    from .device import genotype_sites
 
-    g = genotype_sites(
-        obs, quals, sample_of_read, rpos, strand_of_read, rlen_half,
-        n_alts, cfg.theta, n_samples, mesh=mesh,
-    )
     # pooled-discrete somatic mode: freebayes evaluates the DISCRETE
     # JOINT genotype space over [normal, tumor]
     # (/root/reference/bin/speedseq:1059-1067), not independent
     # per-sample argmaxes — GT/GQ/QUAL come from the joint posterior
     # with the ESF combination prior; per-sample GLs are unchanged
-    # (the SSC filter consumes those marginals)
-    joint = None
-    if cfg.pooled_discrete and n_samples == 2:
-        joint = pooled_joint_genotypes(g.gl, cfg.theta)
+    # (the SSC filter consumes those marginals).  The joint runs inside
+    # the same fused device program (g.joint) — zero extra dispatches.
+    g = genotype_sites(
+        obs, quals, sample_of_read, rpos, strand_of_read, rlen_half,
+        n_alts, cfg.theta, n_samples, mesh=mesh,
+        pooled=cfg.pooled_discrete and n_samples == 2,
+    )
+    joint = g.joint
 
     out: List[SiteCall] = []
     for s, l in enumerate(loci):

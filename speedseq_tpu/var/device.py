@@ -60,9 +60,10 @@ class SiteGenotypes(NamedTuple):
     rpr: np.ndarray      # (S, A) int32
     saf: np.ndarray      # (S, A) int32
     sar: np.ndarray      # (S, A) int32
+    joint: "JointGenotypes | None" = None  # pooled-discrete extras
 
 
-@functools.partial(jax.jit, static_argnames=("n_samples",))
+@functools.partial(jax.jit, static_argnames=("n_samples", "pooled"))
 def _genotype_sites_jit(
     obs: jnp.ndarray,        # (S, R) int8
     quals: jnp.ndarray,      # (S, R) f32
@@ -72,7 +73,9 @@ def _genotype_sites_jit(
     rlen_half: jnp.ndarray,  # (S, R) f32
     n_alts: jnp.ndarray,     # (S,) int32
     theta: jnp.ndarray,      # () f32
+    lp_joint: jnp.ndarray,   # (G, G) f32 ESF joint prior (pooled mode)
     n_samples: int,
+    pooled: bool = False,
 ):
     """R here is the per-site COMPACTED read axis (only covering reads,
     gathered by the host wrapper) — a window holds tens of thousands of
@@ -142,13 +145,70 @@ def _genotype_sites_jit(
     log_p0 = (gl_norm[:, :, 0] + lp[0]) - logz             # (S, M)
     qual = jnp.minimum(1e5, -10.0 * jnp.sum(log_p0, axis=1))
 
-    # pack into 4 leaves: per-LEAF host fetches cost ~30 ms of relay
-    # latency (docs/PERF_NOTES.md) and this program runs once per window
+    # pooled-discrete joint genotype combination over [normal, tumor]:
+    # computed INSIDE the same program so somatic pays zero extra device
+    # dispatches or host fetches (a separate joint program's 4 extra
+    # leaf fetches per window were ~20% of somatic wall time on the
+    # relay, docs/PERF_NOTES.md)
+    if pooled:
+        j_gn, j_gt, j_gq, j_qual = _pooled_joint_core(gl_norm, lp_joint)
+        joint_i = jnp.concatenate(
+            [j_gn[:, None], j_gt[:, None], j_gq], axis=1)   # (S, 4)
+    else:
+        S_ = gl_norm.shape[0]
+        j_qual = jnp.zeros((S_,), jnp.float32)
+        joint_i = jnp.zeros((S_, 4), jnp.int32)
+
+    # pack into TWO leaves: per-LEAF host fetches cost ~10-30 ms of
+    # relay latency (docs/PERF_NOTES.md) and this program runs once per
+    # window.  f_out = [gl flat | site qual | joint qual]; i_out =
+    # [i_sm flat | rpl rpr saf sar | joint gn gt gq2].
     i_sm = jnp.concatenate([
         gt_idx[..., None], gq[..., None], dp[..., None], ro[..., None],
         qr[..., None], ao, qa], axis=2)                     # (S, M, 5+2A)
-    i_sa = jnp.concatenate([rpl, rpr, saf, sar], axis=1)    # (S, 4A)
-    return gl_norm, qual, i_sm, i_sa
+    S_, M_ = i_sm.shape[0], i_sm.shape[1]
+    f_out = jnp.concatenate(
+        [gl_norm.reshape(S_, -1), qual[:, None], j_qual[:, None]], axis=1)
+    i_out = jnp.concatenate(
+        [i_sm.reshape(S_, -1), rpl, rpr, saf, sar, joint_i], axis=1)
+    return f_out, i_out
+
+
+def _pooled_joint_core(gl, lp):
+    """Joint discrete [normal, tumor] genotype combination (traced body
+    shared by the fused program and the standalone `_pooled_joint_jit`).
+
+    gl: (S, 2, G) max-normalized log10 per-sample GLs (invalid genotype
+    slots ≈ -1e9); lp: (G, G) log10 combination prior.  Evaluates the
+    full G×G joint posterior — the discrete space freebayes
+    --pooled-discrete searches (/root/reference/bin/speedseq:1059-1067)
+    — instead of independent per-sample argmaxes."""
+    S, _, G = gl.shape
+    jl = gl[:, 0, :, None] + gl[:, 1, None, :] + lp[None]    # (S, G, G)
+    flat = jl.reshape(S, G * G)
+    best = jnp.argmax(flat, axis=1)
+    gn = (best // G).astype(jnp.int32)
+    gt = (best % G).astype(jnp.int32)
+    m = jnp.max(flat, axis=1)
+    logz = m + jnp.log10(jnp.sum(jnp.power(10.0, flat - m[:, None]), axis=1))
+
+    def log10sumexp(x, axis):
+        mm = jnp.max(x, axis=axis)
+        return mm + jnp.log10(jnp.sum(
+            jnp.power(10.0, x - jnp.expand_dims(mm, axis)), axis=axis))
+
+    marg_n = log10sumexp(jl, 2)                              # (S, G)
+    marg_t = log10sumexp(jl, 1)
+
+    def gq_of(marg):
+        top2, _ = jax.lax.top_k(marg, 2)
+        return jnp.minimum(
+            99, jnp.round(10.0 * (top2[..., 0] - top2[..., 1]))
+        ).astype(jnp.int32)
+
+    gq = jnp.stack([gq_of(marg_n), gq_of(marg_t)], axis=1)   # (S, 2)
+    qual = jnp.minimum(1e5, -10.0 * (jl[:, 0, 0] - logz))
+    return gn, gt, gq, qual
 
 
 def _pad_axis(x: np.ndarray, axis: int, target: int, fill=0) -> np.ndarray:
@@ -175,6 +235,7 @@ def genotype_sites(
     theta: float,
     n_samples: int,
     mesh=None,
+    pooled: bool = False,
 ) -> SiteGenotypes:
     """Host wrapper: compact the read axis per site (only covering
     reads), bucket-pad, run the fused device program, slice back.
@@ -199,12 +260,16 @@ def genotype_sites(
         n_cov = cover.sum(axis=1)
         max_cov = int(n_cov.max()) if S else 0
         Rc = min(R, _bucket(max(max_cov, 1), 128))
-        # stable partition via cumsum ranks — O(S·R) with an int32
-        # scatter (a full argsort materialized an (S, R) int64
-        # permutation, 8× the obs matrix, for the same order)
+        # stable partition via row-major nonzero ranks — O(nnz): within
+        # each site row, nonzero() yields covering reads in read order,
+        # so a read's destination slot is its index minus the row start
+        # (an (S, R) cumsum materialized an int64 matrix 8× the obs
+        # matrix and was ~20% of somatic wall time)
         idx = np.zeros((S, Rc), np.int32)
         s_i, r_i = np.nonzero(cover)
-        dst = (np.cumsum(cover, axis=1) - 1)[s_i, r_i]
+        row_start = np.zeros(S, np.int64)
+        np.cumsum(n_cov[:-1], out=row_start[1:])
+        dst = np.arange(len(s_i), dtype=np.int64) - row_start[s_i]
         keepm = dst < Rc
         idx[s_i[keepm], dst[keepm]] = r_i[keepm]
         obs = np.take_along_axis(obs, idx, 1)
@@ -233,21 +298,38 @@ def genotype_sites(
     rl_p = _pad_axis(_pad_axis(rlen_half, 0, Sp, 1.0), 1, Rp, 1.0)
     na_p = _pad_axis(np.asarray(n_alts, np.int32), 0, Sp, MAX_ALTS)
 
+    pooled = bool(pooled and n_samples == 2)
+    lp = jnp.asarray(_esf_log_prior_table(float(theta))) if pooled else (
+        jnp.zeros((N_GT, N_GT), jnp.float32))
     args = (obs_p, q_p, sam_p, rpos_p, str_p, rl_p, na_p,
-            jnp.float32(theta))
+            jnp.float32(theta), lp)
     if mesh is None:
-        out = _genotype_sites_jit(*args, n_samples=n_samples)
+        out = _genotype_sites_jit(*args, n_samples=n_samples, pooled=pooled)
     else:
-        out = _genotype_sites_sharded(mesh, args, n_samples)
-    gl, qual, i_sm, i_sa = jax.device_get(out)   # ONE fetch, 4 leaves
+        out = _genotype_sites_sharded(mesh, args, n_samples, pooled)
+    f_out, i_out = jax.device_get(out)   # ONE fetch, 2 leaves
     A = MAX_ALTS
-    gl, qual, i_sm, i_sa = gl[:S], qual[:S], i_sm[:S], i_sa[:S]
+    G = N_GT
+    M = n_samples
+    f_out, i_out = f_out[:S], i_out[:S]
+    gl = f_out[:, : M * G].reshape(S, M, G)
+    qual = f_out[:, M * G]
+    w = 5 + 2 * A
+    i_sm = i_out[:, : M * w].reshape(S, M, w)
+    i_sa = i_out[:, M * w : M * w + 4 * A]
+    joint = None
+    if pooled:
+        j_i = i_out[:, M * w + 4 * A :]
+        joint = JointGenotypes(
+            gn=j_i[:, 0], gt=j_i[:, 1], gq=j_i[:, 2:4],
+            qual=f_out[:, M * G + 1])
     return SiteGenotypes(
         gl=gl, gt_idx=i_sm[..., 0], gq=i_sm[..., 1], qual=qual,
         dp=i_sm[..., 2], ro=i_sm[..., 3], qr=i_sm[..., 4],
         ao=i_sm[..., 5:5 + A], qa=i_sm[..., 5 + A:5 + 2 * A],
         rpl=i_sa[:, :A], rpr=i_sa[:, A:2 * A],
         saf=i_sa[:, 2 * A:3 * A], sar=i_sa[:, 3 * A:],
+        joint=joint,
     )
 
 
@@ -295,39 +377,10 @@ def _esf_log_prior_table(theta: float) -> np.ndarray:
 
 @jax.jit
 def _pooled_joint_jit(gl, lp):
-    """Joint discrete genotype combination over [normal, tumor].
-
-    gl: (S, 2, G) max-normalized log10 per-sample GLs (invalid genotype
-    slots ≈ -1e9); lp: (G, G) log10 combination prior.  Evaluates the
-    full G×G joint posterior — the discrete space freebayes
-    --pooled-discrete searches — instead of independent per-sample
-    argmaxes."""
-    S, _, G = gl.shape
-    jl = gl[:, 0, :, None] + gl[:, 1, None, :] + lp[None]    # (S, G, G)
-    flat = jl.reshape(S, G * G)
-    best = jnp.argmax(flat, axis=1)
-    gn = (best // G).astype(jnp.int32)
-    gt = (best % G).astype(jnp.int32)
-    m = jnp.max(flat, axis=1)
-    logz = m + jnp.log10(jnp.sum(jnp.power(10.0, flat - m[:, None]), axis=1))
-
-    def log10sumexp(x, axis):
-        mm = jnp.max(x, axis=axis)
-        return mm + jnp.log10(jnp.sum(
-            jnp.power(10.0, x - jnp.expand_dims(mm, axis)), axis=axis))
-
-    marg_n = log10sumexp(jl, 2)                              # (S, G)
-    marg_t = log10sumexp(jl, 1)
-
-    def gq_of(marg):
-        top2, _ = jax.lax.top_k(marg, 2)
-        return jnp.minimum(
-            99, jnp.round(10.0 * (top2[..., 0] - top2[..., 1]))
-        ).astype(jnp.int32)
-
-    gq = jnp.stack([gq_of(marg_n), gq_of(marg_t)], axis=1)   # (S, 2)
-    qual = jnp.minimum(1e5, -10.0 * (jl[:, 0, 0] - logz))
-    return gn, gt, gq, qual
+    """Standalone jit over `_pooled_joint_core` (kept for consumers that
+    already hold per-sample GLs; the var/somatic engine runs the joint
+    inside the fused `_genotype_sites_jit` program instead)."""
+    return _pooled_joint_core(gl, lp)
 
 
 def pooled_joint_genotypes(gl: np.ndarray, theta: float) -> JointGenotypes:
@@ -345,7 +398,8 @@ def pooled_joint_genotypes(gl: np.ndarray, theta: float) -> JointGenotypes:
         gn=gn[:S], gt=gt[:S], gq=gq[:S], qual=qual[:S])
 
 
-def _genotype_sites_sharded(mesh, args, n_samples: int):
+def _genotype_sites_sharded(mesh, args, n_samples: int,
+                            pooled: bool = False):
     """shard_map over the site axis: sites to shards, reads replicated
     (the genomic-window fan-out of bin/speedseq:719 mapped onto the mesh;
     no cross-site communication exists in the model, so the only
@@ -356,7 +410,7 @@ def _genotype_sites_sharded(mesh, args, n_samples: int):
     except ImportError:
         from jax.experimental.shard_map import shard_map  # type: ignore
 
-    obs_p, q_p, sam_p, rpos_p, str_p, rl_p, na_p, theta = args
+    obs_p, q_p, sam_p, rpos_p, str_p, rl_p, na_p, theta, lp = args
     s_axis = P("data")
     rep = P()
     kw = {}
@@ -364,12 +418,14 @@ def _genotype_sites_sharded(mesh, args, n_samples: int):
     if "check_rep" in inspect.signature(shard_map).parameters:
         kw["check_rep"] = False
     fn = shard_map(
-        functools.partial(_genotype_sites_jit, n_samples=n_samples),
+        functools.partial(_genotype_sites_jit, n_samples=n_samples,
+                          pooled=pooled),
         mesh=mesh,
         # every per-read array is per-site compacted now → site-sharded
         in_specs=(s_axis, s_axis, s_axis, s_axis, s_axis, s_axis,
-                  s_axis, rep),
-        out_specs=(s_axis,) * 4,
+                  s_axis, rep, rep),
+        out_specs=(s_axis,) * 2,
         **kw,
     )
-    return jax.jit(fn)(obs_p, q_p, sam_p, rpos_p, str_p, rl_p, na_p, theta)
+    return jax.jit(fn)(obs_p, q_p, sam_p, rpos_p, str_p, rl_p, na_p,
+                       theta, lp)
