@@ -373,14 +373,15 @@ if _HAVE_JAX:
     def _shard_pad(n: int, mult: int, n_dev: int) -> int:
         return _bucket(_bucket(n, mult), mult * n_dev)
 
-    def svtyper_batch_device(idx, valid, rec_cols, call_cols, scalars,
-                             mesh=None):
-        """Host wrapper: pad the call axis, dispatch (optionally
-        shard_mapped over the mesh data axis), fetch numpy outputs.
+    def svtyper_dispatch(idx, valid, rec_cols, call_cols, scalars,
+                         mesh=None):
+        """Pad the call axis and dispatch (optionally shard_mapped over
+        the mesh data axis); returns the un-fetched device output pair.
 
         idx/valid: (C, 2, R); rec_cols: 14-tuple of (n,) record columns;
         call_cols: 7-tuple of (C,) call columns; scalars:
-        (slop, w, wiggle, max_normal)."""
+        (slop, w, wiggle, max_normal).  Deferred fetch lets the caller
+        dispatch several R-tier batches and pay ONE host fetch round."""
         C = call_cols[0].shape[0]
         n_dev = mesh.devices.size if mesh is not None else 1
         Cp = _shard_pad(C, 8, n_dev)
@@ -397,14 +398,23 @@ if _HAVE_JAX:
         args = (idx2, val2) + tuple(rec_cols) + calls_p + tuple(
             np.int32(s) for s in scalars)
         if mesh is None:
-            out = _svtyper_jit(*args)
-        else:
-            out = _svtyper_sharded(mesh, args)
-        ints, flts = jax.device_get(out)      # one fetch, two leaves
+            return _svtyper_jit(*args)
+        return _svtyper_sharded(mesh, args)
+
+    def svtyper_unpack(fetched, C):
+        """Split one fetched (ints, flts) pair back into the 11 columns."""
+        ints, flts = fetched
         ints, flts = ints[:C], flts[:C]
         return (ints[:, 0], ints[:, 1], ints[:, 2], ints[:, 3],
                 ints[:, 4], ints[:, 5], flts[:, :3], ints[:, 6],
                 ints[:, 7], flts[:, 3], flts[:, 4])
+
+    def svtyper_batch_device(idx, valid, rec_cols, call_cols, scalars,
+                             mesh=None):
+        """Dispatch + fetch in one step (single-tier convenience)."""
+        out = svtyper_dispatch(idx, valid, rec_cols, call_cols, scalars,
+                               mesh=mesh)
+        return svtyper_unpack(jax.device_get(out), call_cols[0].shape[0])
 
     def _svtyper_sharded(mesh, args):
         """shard_map over the call axis (breakpoints are independent —

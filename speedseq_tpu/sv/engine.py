@@ -277,6 +277,27 @@ def run_sv(
         refs = rd.header.refs
     ref_names = [n for n, _ in refs]
 
+    # start the genotypers' whole-BAM columnar decode NOW, overlapped
+    # with evidence collection + the cluster device program: the decode
+    # is host work with the GIL released (native codec) while the
+    # cluster program's wall time is mostly device/relay latency — the
+    # same producer/consumer overlap the reference gets from running
+    # lumpy and the svtyper input prep as separate processes
+    # (bin/speedseq:1473-1505)
+    genotypers: List[Optional[SVGenotyper]] = [None] * len(samples)
+    warm_thread = None
+    if cfg.genotype:
+        genotypers = [
+            SVGenotyper(s.full, s.splitters, st)
+            for s, st in zip(samples, stats)
+        ]
+        import threading
+
+        warm_thread = threading.Thread(
+            target=lambda: [g._columns() for g in genotypers if g],
+            daemon=True)
+        warm_thread.start()
+
     evidence = collect_evidence(
         [s.discordants for s in samples],
         [s.splitters for s in samples],
@@ -294,12 +315,8 @@ def run_sv(
     if cfg.verbose:
         print(f"[sv] {len(evidence)} evidence items → {len(calls)} calls")
 
-    genotypers: List[Optional[SVGenotyper]] = [None] * len(samples)
-    if cfg.genotype:
-        genotypers = [
-            SVGenotyper(s.full, s.splitters, st)
-            for s, st in zip(samples, stats)
-        ]
+    if warm_thread is not None:
+        warm_thread.join()
     depth: List[Optional[DepthProfile]] = [None] * len(samples)
     if cfg.annotate_depth and cfg.reference:
         depth = [

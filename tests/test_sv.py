@@ -498,3 +498,71 @@ def test_device_svtyper_unmapped_tail(tmp_path):
     assert batch[0].dp == percall.dp > 0     # windows must not be empty
     assert (batch[0].ro, batch[0].ao, batch[0].rs) == (
         percall.ro, percall.ao, percall.rs)
+
+
+def test_device_svtyper_depth_outlier_tiers(tmp_path, monkeypatch):
+    """R-tier bucketing (VERDICT r4 weak 6): one 50x-depth breakpoint
+    among normal ones must not inflate the gather window R for the whole
+    batch — the outlier runs in its own small second tier, counts stay
+    identical to the per-call path, and the main tier's R stays bounded
+    by the normal windows."""
+    from speedseq_tpu import native
+    from speedseq_tpu.formats.bam import BAMWriter
+    from speedseq_tpu.formats.sam import SAMHeader, SAMRecord
+    from speedseq_tpu.sv.cluster import SVCall
+    from speedseq_tpu.sv import device as dev
+    from speedseq_tpu.sv.svtyper import SVGenotyper
+
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    hdr = SAMHeader(text="@SQ\tSN:c\tLN:2000000\n", refs=[("c", 2000000)])
+    recs = []
+
+    def crossings(center, n, tag):
+        for i in range(n):
+            p = center - 50 + (i % 20) * 4
+            recs.append(SAMRecord(
+                qname=f"{tag}{i}", flag=0x1 | 0x2 | 0x20, tid=0, pos=p,
+                mapq=60, cigar=[(0, 100)], mtid=0, mpos=p + 200, tlen=300,
+                seq="A" * 100, qual="I" * 100))
+
+    centers = [100_000 + k * 50_000 for k in range(8)]
+    for k, c in enumerate(centers):
+        crossings(c, 12, f"n{k}")
+    hot = 900_000
+    crossings(hot, 600, "hot")          # 50x the normal window depth
+    recs.sort(key=lambda r: r.pos)
+    bam = str(tmp_path / "tiers.bam")
+    with BAMWriter(bam, hdr) as w:
+        w.write_batch(recs)
+    stats = InsertStats.synthetic(300, 50)
+
+    def mk_call(pos):
+        return SVCall(
+            svtype=DEL, tid1=0, pos1=pos, strand1=0, cipos=(0, 0),
+            cipos95=(0, 0), prpos=np.ones(1), tid2=0, pos2=pos + 2000,
+            strand2=1, ciend=(0, 0), ciend95=(0, 0), prend=np.ones(1),
+            su=4, pe=4, sr=0, sample_support={0: 4}, imprecise=True)
+
+    calls = [mk_call(c) for c in centers] + [mk_call(hot)]
+    seen_R = []
+    orig = dev.svtyper_dispatch
+
+    def spy(idx, valid, rec_cols, call_cols, scalars, mesh=None):
+        seen_R.append((call_cols[0].shape[0], idx.shape[2]))
+        return orig(idx, valid, rec_cols, call_cols, scalars, mesh=mesh)
+
+    monkeypatch.setattr(dev, "svtyper_dispatch", spy)
+    g = SVGenotyper(bam, None, stats)
+    batch = g.genotype_all(calls)
+    percall = [g.genotype(c) for c in calls]
+    g.close()
+    for a, b in zip(batch, percall):
+        assert (a.dp, a.ro, a.ao, a.rs, a.as_, a.rp, a.ap) == (
+            b.dp, b.ro, b.ao, b.rs, b.as_, b.rp, b.ap)
+        assert a.gt == b.gt
+    # two tiers ran: 8 normal calls at a small R, 1 hot call at a big R
+    assert len(seen_R) == 2
+    (c_small, r_small), (c_big, r_big) = seen_R
+    assert c_small == len(centers) and c_big == 1
+    assert r_big >= 4 * r_small     # memory for the batch stays bounded
