@@ -49,6 +49,144 @@ def unclipped_5p(pos: int, end_pos: int, strand: int, cigar) -> int:
     return end_pos + tail
 
 
+_MIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+_SEED = np.uint64(0x9E3779B97F4A7C15)
+_S33 = np.uint64(33)
+
+
+def _hash_rows(mat: np.ndarray) -> np.ndarray:
+    """(n, k) int64 → (n,) uint64 splitmix-style row hash (column order
+    feeds the running state, so field position matters)."""
+    with np.errstate(over="ignore"):
+        h = np.full(len(mat), _SEED, np.uint64)
+        for j in range(mat.shape[1]):
+            h = h ^ mat[:, j].astype(np.uint64)
+            h = h ^ (h >> _S33)
+            h = h * _MIX1
+            h = h ^ (h >> _S33)
+            h = h * _MIX2
+        return h ^ (h >> _S33)
+
+
+class _SigTable:
+    """Open-addressing hash set of int64 signature rows with fully
+    vectorized batch lookup+insert (first-seen) — no per-row Python.
+
+    Linear probing over a power-of-two slot array; each probe round is
+    one vectorized gather+compare over the still-unresolved queries
+    (expected ~2 rounds at load < 0.6).  Exactness: a hit requires the
+    FULL row to match at the slot, the hash only routes.  This replaces
+    both the per-row set loop (50 ms per 16k-pair wave at P=2) and a
+    sorted-array design whose repeated merges were O(n²/limit) — the
+    multi-host wave marker applies P batches per wave, so this apply is
+    the scaling term (VERDICT r4 item 5)."""
+
+    __slots__ = ("width", "cap", "h", "occ", "rows", "n", "_scratch")
+
+    def __init__(self, width: int, cap: int = 1 << 16):
+        self.width = width
+        self._alloc(cap)
+
+    def _alloc(self, cap: int):
+        self.cap = cap
+        self.h = np.zeros(cap, np.uint64)
+        self.occ = np.zeros(cap, bool)
+        self.rows = np.zeros((cap, self.width), np.int64)
+        self._scratch = np.full(cap, -1, np.int64)
+        self.n = 0
+
+    def _grow(self, need: int):
+        cap = self.cap
+        while need * 3 > cap:          # keep load ≤ 1/3: short probes
+            cap *= 2
+        if cap == self.cap:
+            return
+        oh, orows, occ = self.h, self.rows, self.occ
+        self._alloc(cap)
+        live = np.nonzero(occ)[0]
+        if len(live):
+            self._probe(oh[live], orows[live], insert=True)
+
+    def _probe(self, hq: np.ndarray, rq: np.ndarray, insert: bool
+               ) -> np.ndarray:
+        """One batched probe pass; hq/rq must be row-unique.  Returns
+        hit bool (present before this call); inserts misses when
+        ``insert``.  Double hashing (odd per-row stride) breaks the
+        probe clusters that made bulk linear probing take tens of
+        rounds; slot claiming is a scatter (last-write-wins is fine:
+        rows are pre-deduped, so ANY single claimant per slot is
+        correct)."""
+        m = len(hq)
+        hit = np.zeros(m, bool)
+        done = np.zeros(m, bool)
+        mask = self.cap - 1
+        slot = (hq & np.uint64(mask)).astype(np.int64)
+        step = (((hq >> np.uint64(33)).astype(np.int64) << 1) | 1) & mask
+        live = np.arange(m)
+        scratch = self._scratch
+        while len(live):
+            s = slot[live]
+            occ = self.occ[s]
+            oi = live[occ]
+            if len(oi):
+                os_ = slot[oi]
+                match = self.h[os_] == hq[oi]
+                if match.any():
+                    mi = oi[match]
+                    eq = (self.rows[os_[match]] == rq[mi]).all(axis=1)
+                    hit[mi[eq]] = True
+                    done[mi[eq]] = True
+            empty = ~occ
+            if empty.any():
+                ei = live[empty]
+                if insert:
+                    es = slot[ei]
+                    idx = np.arange(len(ei))
+                    scratch[es] = idx
+                    win = scratch[es] == idx
+                    scratch[es] = -1
+                    wi, us = ei[win], es[win]
+                    self.occ[us] = True
+                    self.h[us] = hq[wi]
+                    self.rows[us] = rq[wi]
+                    self.n += len(us)
+                    done[wi] = True
+                else:
+                    done[ei] = True            # empty ⇒ definitive miss
+            live = live[~done[live]]
+            slot[live] = (slot[live] + step[live]) & mask
+        return hit
+
+    def lookup_insert(self, mat: np.ndarray):
+        """(dup bool (n,), new_rows (m, width) int64): True where the
+        signature was already present (in the table or earlier in this
+        batch); inserts the first occurrences in batch order."""
+        n = len(mat)
+        if n == 0:
+            return np.zeros(0, bool), mat.reshape(0, self.width)
+        mat = np.ascontiguousarray(mat, np.int64)
+        # within-batch first-seen via bytes-view unique (equal-width
+        # rows collide iff identical; 'S' ignores only trailing NULs)
+        keys = mat.view(f"S{8 * self.width}").reshape(-1)
+        _, first_idx, inv = np.unique(
+            keys, return_index=True, return_inverse=True)
+        dup_within = np.arange(n) != first_idx[inv]
+        urows = mat[first_idx]
+        self._grow(self.n + len(urows))
+        seen = self._probe(_hash_rows(urows), urows, insert=True)
+        dup = dup_within | seen[inv]
+        order = np.sort(first_idx[~seen])     # batch order for the journal
+        new_rows = mat[order] if (~seen).any() else (
+            np.zeros((0, self.width), np.int64))
+        return dup, new_rows
+
+    def add_rows(self, mat: np.ndarray) -> None:
+        if len(mat) == 0:
+            return
+        self.lookup_insert(mat)
+
+
 class StreamDupMarker:
     """Streaming first-seen duplicate signatures (samblaster's hash-table
     semantic: one entry per unique signature lives for the whole run; reads
@@ -56,12 +194,16 @@ class StreamDupMarker:
     library id — samblaster runs per-library in the reference realign flow
     (bin/speedseq:1930-1973), so two pairs from different libraries are
     never duplicates of each other.
+
+    Whole-batch vectorized: signature assembly, within-batch first-seen,
+    and table membership are numpy ops over the batch (no per-read
+    Python) — see :class:`_SigTable`.
     """
 
     def __init__(self):
-        self._pairs: set = set()
-        self._orphans: set = set()
-        # signatures added since the last drain_new() — the align
+        self._pairs = _SigTable(7)
+        self._orphans = _SigTable(4)
+        # signature rows added since the last drain_new() — the align
         # checkpoint journals only this delta (O(batch) per checkpoint)
         self._new_pairs: list = []
         self._new_orphans: list = []
@@ -90,37 +232,42 @@ class StreamDupMarker:
         both = ok1 & ok2
         one = ok1 ^ ok2
         single = np.where(ok1[:, None], a, b)
-        pairs, orphans = self._pairs, self._orphans
-        for i in np.nonzero(both)[0]:
-            key = (int(lib[i]), int(lo[i, 0]), int(lo[i, 1]), int(lo[i, 2]),
-                   int(hi[i, 0]), int(hi[i, 1]), int(hi[i, 2]))
-            if key in pairs:
-                dup[i] = True
-            else:
-                pairs.add(key)
-                self._new_pairs.append(key)
-        for i in np.nonzero(one)[0]:
-            key = (int(lib[i]), int(single[i, 0]), int(single[i, 1]),
-                   int(single[i, 2]))
-            if key in orphans:
-                dup[i] = True
-            else:
-                orphans.add(key)
-                self._new_orphans.append(key)
+        libc = np.asarray(lib, np.int64)[:, None]
+        bi = np.nonzero(both)[0]
+        pair_mat = np.concatenate([libc[bi], lo[bi], hi[bi]], axis=1)
+        d, new_p = self._pairs.lookup_insert(pair_mat)
+        dup[bi] = d
+        if len(new_p):
+            self._new_pairs.append(new_p)
+        oi = np.nonzero(one)[0]
+        orph_mat = np.concatenate([libc[oi], single[oi]], axis=1)
+        d, new_o = self._orphans.lookup_insert(orph_mat)
+        dup[oi] = d
+        if len(new_o):
+            self._new_orphans.append(new_o)
         return dup
 
     # --------------------------------------------------- checkpoint API
-    def drain_new(self) -> Tuple[list, list]:
-        """New (pair, orphan) signatures since the previous drain; the
-        caller appends them to its checkpoint journal."""
-        np_, no_ = self._new_pairs, self._new_orphans
+    def drain_new(self) -> Tuple[np.ndarray, np.ndarray]:
+        """New (pair, orphan) signature rows since the previous drain
+        (int64 matrices); the caller appends them to its checkpoint
+        journal."""
+        np_ = (np.concatenate(self._new_pairs) if self._new_pairs
+               else np.zeros((0, 7), np.int64))
+        no_ = (np.concatenate(self._new_orphans) if self._new_orphans
+               else np.zeros((0, 4), np.int64))
         self._new_pairs, self._new_orphans = [], []
         return np_, no_
 
     def replay(self, pair_keys, orphan_keys) -> None:
-        """Re-add journaled signatures on resume."""
-        self._pairs.update(pair_keys)
-        self._orphans.update(orphan_keys)
+        """Re-add journaled signatures on resume (accepts int64 matrices
+        or legacy iterables of int tuples)."""
+        if len(pair_keys):
+            self._pairs.add_rows(
+                np.asarray(list(pair_keys), np.int64).reshape(-1, 7))
+        if len(orphan_keys):
+            self._orphans.add_rows(
+                np.asarray(list(orphan_keys), np.int64).reshape(-1, 4))
 
 
 def strip_seq(rec: SAMRecord) -> SAMRecord:

@@ -382,7 +382,12 @@ def _read_container_header(fh, version: int) -> ContainerHeader:
     if len(raw) < 4:
         raise EOFError
     (length,) = struct.unpack("<i", raw)
-    buf = fh.read(64)  # varint fields are < 64 bytes
+    # fixed varint fields are ≤ 48 bytes; the landmark list is NOT
+    # bounded (n_landmarks × ≤5 bytes for multi-slice containers), so
+    # the buffer is extended once n_landmarks is known instead of
+    # capping at 64 bytes (a multi-slice container overran the cap and
+    # broke the forward seek — ADVICE r4)
+    buf = fh.read(64)
     r = ByteReader(buf)
     ref_id = r.itf8()
     start = r.itf8()
@@ -392,6 +397,11 @@ def _read_container_header(fh, version: int) -> ContainerHeader:
     bases = r.ltf8()
     n_blocks = r.itf8()
     n_land = r.itf8()
+    need = n_land * 5 + 4          # worst-case landmarks + CRC
+    if len(buf) - r.pos < need:
+        extra = fh.read(need - (len(buf) - r.pos))
+        buf += extra
+        r.b = buf
     lands = [r.itf8() for _ in range(n_land)]
     if version >= 3:
         r.read(4)  # CRC
@@ -667,9 +677,14 @@ class CRAMReader:
     """Iterate SAMRecords from a CRAM 3.0 file.
 
     ``reference`` (FASTA path) is required unless every slice embeds its
-    reference or the file was written referenceless (RR=false)."""
+    reference or the file was written referenceless (RR=false); a
+    missing-but-required reference raises (htslib fails the same way).
+    ``allow_missing_ref=True`` opts back into decoding with match bases
+    as 'N' (tag/flag inspection without the FASTA)."""
 
-    def __init__(self, path: str, reference: Optional[str] = None):
+    def __init__(self, path: str, reference: Optional[str] = None,
+                 allow_missing_ref: bool = False):
+        self.allow_missing_ref = allow_missing_ref
         self.fh = open(path, "rb")
         magic = self.fh.read(4)
         if magic != CRAM_MAGIC:
@@ -917,6 +932,19 @@ class CRAMReader:
         quals = None
         if rec.cf & CF_QS_PRESERVED:
             quals = bytearray(self._ds_bytes(ch, "QS", core, ext, rec.rlen))
+        # fail loudly like htslib when the slice needs a reference none
+        # was given (ADVICE r4: silently filling every match base with
+        # 'N' wrote corrupted BAMs from `sv -B sample.cram` without -R)
+        if (not self.allow_missing_ref
+                and getattr(ch, "rr", True) and embedded_ref is None
+                and rec.ref_id >= 0 and rec.rlen
+                and not (rec.cf & CF_NO_SEQ)
+                and self._ref_seq(rec.ref_id) is None):
+            raise ValueError(
+                "CRAM input requires a reference: the compression header "
+                "says reference-required (RR=true) and the slice embeds "
+                "none — pass -R/--reference with the FASTA the CRAM was "
+                "written against")
         self._reconstruct(rec, feats, subst, embedded_ref, s_start, quals)
 
     def _decode_unmapped(self, ch, core, ext, rec):
@@ -1130,9 +1158,11 @@ def _decode_tag_value(tag: str, typ: str, raw: bytes):
     return (tag, typ, raw)
 
 
-def read_cram(path: str, reference: Optional[str] = None
+def read_cram(path: str, reference: Optional[str] = None,
+              allow_missing_ref: bool = False,
               ) -> Tuple[SAMHeader, List[SAMRecord]]:
-    with CRAMReader(path, reference) as r:
+    with CRAMReader(path, reference,
+                    allow_missing_ref=allow_missing_ref) as r:
         return r.header, list(r)
 
 

@@ -260,29 +260,71 @@ class Annotator:
             term = "missense_variant"
         return term, codons, aas, exon_str, str(ci + 1)
 
-    def csq(self, chrom: str, pos0: int, ref: str,
-            alts: List[str]) -> Optional[str]:
-        """CSQ INFO value for one record (pos0 0-based), or None."""
+    def _annotate_span(self, t: Transcript, lo1: int, hi1: int
+                       ) -> Tuple[str, str, str, str, str]:
+        """Span-overlap consequence for symbolic/BND alts (the point-
+        variant codon path is meaningless for them — ADVICE r4: symbolic
+        alts annotated as ref→ref came out 'synonymous_variant' and BND
+        bracket strings 'frameshift_variant').  Terms stay in the SO
+        subset VEP emits for overlaps."""
+        if hi1 < t.start or lo1 > t.end:
+            if t.strand == "+":
+                before = hi1 < t.start
+            else:
+                before = lo1 > t.end
+            return (("upstream_gene_variant" if before
+                     else "downstream_gene_variant"), "", "", "", "")
+        if any(lo1 <= e and hi1 >= s for s, e in t.cds):
+            return "coding_sequence_variant", "", "", "", ""
+        for i, (s, e) in enumerate(t.exons):
+            if lo1 <= e and hi1 >= s:
+                n_ex = len(t.exons)
+                exon_no = (i + 1 if t.strand == "+" else n_ex - i)
+                if not t.cds:
+                    return ("non_coding_transcript_exon_variant", "", "",
+                            f"{exon_no}/{n_ex}", "")
+                return ("5_prime_UTR_variant"
+                        if (hi1 < t.cds[0][0]) == (t.strand == "+")
+                        else "3_prime_UTR_variant",
+                        "", "", f"{exon_no}/{n_ex}", "")
+        return "intron_variant", "", "", "", ""
+
+    @staticmethod
+    def _is_structural_alt(alt: str) -> bool:
+        return (alt.startswith("<") or alt == "*"
+                or "[" in alt or "]" in alt)
+
+    def csq(self, chrom: str, pos0: int, ref: str, alts: List[str],
+            end1: Optional[int] = None) -> Optional[str]:
+        """CSQ INFO value for one record (pos0 0-based), or None.
+
+        ``end1`` (1-based inclusive, from INFO END) gives symbolic alts
+        their affected span; BND bracket alts annotate the local
+        breakpoint base only."""
         lst = self.tx.get(chrom, [])
         pos1 = pos0 + 1
+        span_hi = max(pos1, end1) if end1 else pos1
         # candidate transcripts: span or ±UPSTREAM_DIST
         cands = [
             t for t in lst
-            if t.start - UPSTREAM_DIST <= pos1 <= t.end + UPSTREAM_DIST
+            if t.start - UPSTREAM_DIST <= span_hi
+            and pos1 <= t.end + UPSTREAM_DIST
         ]
         entries = []
         for alt in alts:
-            if alt.startswith("<") or alt == "*":
-                alt_s = ""
-            else:
-                alt_s = alt
+            structural = self._is_structural_alt(alt)
             if not cands:
                 entries.append("|".join(
                     ["intergenic_variant"] + [""] * 10))
                 continue
             for t in cands:
-                cons, codons, aas, exon, ppos = self._annotate_tx(
-                    t, pos1, ref, alt_s or ref)
+                if structural:
+                    hi1 = pos1 if ("[" in alt or "]" in alt) else span_hi
+                    cons, codons, aas, exon, ppos = self._annotate_span(
+                        t, pos1, hi1)
+                else:
+                    cons, codons, aas, exon, ppos = self._annotate_tx(
+                        t, pos1, ref, alt)
                 entries.append("|".join([
                     cons, codons, aas, t.gene_id, t.symbol, t.tid, exon,
                     "", "", ppos, t.biotype,
@@ -329,7 +371,12 @@ def annotate_vcf(path: str, gff_path: str, fasta_path: str,
     for rec in records:
         if not routed(rec):
             continue
-        csq = ann.csq(rec.chrom, rec.pos, rec.ref, rec.alt)
+        end1 = None
+        try:
+            end1 = int(rec.info.get("END"))
+        except (TypeError, ValueError):
+            pass
+        csq = ann.csq(rec.chrom, rec.pos, rec.ref, rec.alt, end1=end1)
         if csq:
             rec.info["CSQ"] = csq
     ann.close()

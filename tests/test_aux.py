@@ -527,13 +527,51 @@ def test_annotate_consequences(tmp_path):
     assert f[0] == "frameshift_variant"
     f = _cons(ann, 16, "A", "T", "TA")      # 5 bp before transcript
     assert f[0] == "upstream_gene_variant"
-    # minus-strand gene: genomic 103 is CDS-B offset 1 (codon ATG)
-    f = _cons(ann, 102, "A", "T", "TB")
-    assert f[0] in ("missense_variant", "start_lost", "stop_gained",
-                    "synonymous_variant", "stop_lost")
+    # minus-strand gene (CDS 96-104 on '-' reads ATG TTT TAA): exact
+    # VEP-style codon/AA anchors on the reverse strand
+    f = _cons(ann, 102, "C", "T", "TB")     # ATG→ATA: start codon hit
+    assert f[0] == "start_lost"
+    assert f[1] == "atG/atA" and f[9] == "1"
+    f = _cons(ann, 99, "A", "G", "TB")      # TTT→TTC: Phe→Phe
+    assert f[0] == "synonymous_variant" and f[2] == "F"
+    f = _cons(ann, 98, "A", "C", "TB")      # TAA→GAA: *→E
+    assert f[0] == "stop_lost" and f[2] == "*/E"
     # a chrom with no annotated genes at all
     out = ann.csq("chrEmpty", 0, "A", ["T"])
     assert out.split("|")[0] == "intergenic_variant"
+    ann.close()
+
+
+def test_annotate_symbolic_and_bnd_alts(tmp_path):
+    """sv --gff route (ADVICE r4): symbolic alts must annotate by their
+    affected SPAN (not as ref→ref 'synonymous') and BND bracket strings
+    by the breakpoint base (not as 'frameshift')."""
+    ann = _annot_world(tmp_path)
+
+    def one(pos1, alt, end1=None):
+        out = ann.csq("c", pos1 - 1, "N", [alt], end1=end1)
+        for entry in out.split(","):
+            f = entry.split("|")
+            if f[5] == "TA" or f[0] == "intergenic_variant":
+                return f
+        raise AssertionError(out)
+
+    # <DEL> spanning into CDS A → coding overlap, never synonymous
+    f = one(31, "<DEL>", end1=55)
+    assert f[0] == "coding_sequence_variant"
+    assert f[1] == "" and f[2] == ""         # no codon fields for spans
+    # <DUP> wholly inside the intron (53-59)
+    f = one(53, "<DUP>", end1=59)
+    assert f[0] == "intron_variant"
+    # <DEL> over the 5' UTR exon bases only (22-29)
+    f = one(22, "<DEL>", end1=29)
+    assert f[0] == "5_prime_UTR_variant"
+    # BND bracket alt: breakpoint base inside CDS → coding overlap,
+    # never frameshift (the bracket string is not an allele sequence)
+    f = one(35, "N[c:200[")
+    assert f[0] == "coding_sequence_variant"
+    f = one(55, "]c:10]N")
+    assert f[0] == "intron_variant"
     ann.close()
 
 

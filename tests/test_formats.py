@@ -333,12 +333,22 @@ def test_cram_large_aux_exact():
     _cram_vs_sam("xx#large_aux_java.cram", "xx#large_aux.sam", "xx.fa")
 
 
-def test_cram_aux_types_decode():
-    """Every aux tag type (A/i/f/Z/H/B with all array subtypes) decodes;
-    no reference needed (bases come back as N)."""
+def test_cram_missing_required_ref_raises():
+    """A reference-required CRAM without -R must fail loudly like htslib
+    (ADVICE r4: silently filling match bases with N corrupted BAMs)."""
     from speedseq_tpu.formats.cram import read_cram
 
-    hdr, recs = read_cram(f"{HTSLIB_TEST_DIR}/aux#aux_java.cram")
+    with pytest.raises(ValueError, match="reference"):
+        read_cram(f"{HTSLIB_TEST_DIR}/aux#aux_java.cram")
+
+
+def test_cram_aux_types_decode():
+    """Every aux tag type (A/i/f/Z/H/B with all array subtypes) decodes;
+    allow_missing_ref opts into referenceless inspection (bases N)."""
+    from speedseq_tpu.formats.cram import read_cram
+
+    hdr, recs = read_cram(f"{HTSLIB_TEST_DIR}/aux#aux_java.cram",
+                          allow_missing_ref=True)
     assert len(recs) == 2
     tags = {t: (typ, v) for t, typ, v in recs[1].tags}
     assert tags["Bi"] == ("B", ("i", [-2147483648, -2147483647, 0,
