@@ -94,12 +94,18 @@ class FileExchange:
         # fails loudly with TimeoutError instead of reading stale data.
         self.run_id = run_id
         os.makedirs(root, exist_ok=True)
-        # hygiene: drop this process's leftovers from any previous run
+        # hygiene: drop this process's leftovers from PRIOR runs only —
+        # an age guard keeps a concurrent run sharing this exchange_dir
+        # from having its live wave files deleted (ADVICE r4: two
+        # concurrent runs deleted each other's files and stalled)
         prefix = f"{run_id}."
+        now = time.time()
         for name in os.listdir(root):
             if not name.startswith(prefix) and name.endswith(f".p{process_id}"):
                 try:
-                    os.unlink(os.path.join(root, name))
+                    path = os.path.join(root, name)
+                    if now - os.path.getmtime(path) > 600:
+                        os.unlink(path)
                 except OSError:
                     pass
 
@@ -313,7 +319,6 @@ def var_multihost(
     tests/test_multihost.py).  Prints per-process wall-clock and
     exchange/merge overhead: the scaling evidence a single-node
     environment can produce."""
-    import pickle
     import time as _time
 
     from ..var.engine import VarConfig, run_var, build_var_header
@@ -321,7 +326,7 @@ def var_multihost(
     cfg = config or VarConfig()
     ex = make_exchange(exchange_dir, num_processes, process_id,
                        run_id=run_id)
-    part = f"{output}.part{process_id}.pkl"
+    part = f"{output}.part{process_id}.vcfraw"
     t0 = _time.time()
     run_var(reference, bam_paths, output, windows_bed=windows_bed,
             config=cfg, _shard=(num_processes, process_id),
@@ -334,15 +339,22 @@ def var_multihost(
         print(f"[var-mh] p{process_id}: windows {t_windows:.2f}s "
               f"exchange {t_ex:.2f}s", flush=True)
         return None
+    import heapq
+
     from ..formats import tabix as tabix_mod
     from ..formats.bam import BAMReader
     from ..formats.vcf import VCFWriter
 
-    tagged = []
-    for p in range(num_processes):
-        with open(f"{output}.part{p}.pkl", "rb") as fh:
-            tagged.extend(pickle.load(fh))
-    tagged.sort(key=lambda t: t[:3])
+    def _iter_part(path: str):
+        """Stream (key, raw line bytes) entries of one sorted part."""
+        with open(path, "rb") as fh:
+            while True:
+                hdr = fh.read(28)
+                if len(hdr) < 28:
+                    return
+                o, p_, w_, ln = struct.unpack("<qqqI", hdr)
+                yield (o, p_, w_), fh.read(ln)
+
     with BAMReader(bam_paths[0]) as rd0:
         refs = rd0.header.refs
     # rebuild the header exactly as run_var does (same BAMs → same map)
@@ -353,20 +365,82 @@ def var_multihost(
     for rd in readers:
         rd.close()
     header = build_var_header(refs, samples)
+    # streaming k-way heap merge of the sorted raw-byte parts: O(P·line)
+    # memory instead of unpickling every process's record list into p0
+    # RAM (the reference merges window files + text sort the same way,
+    # bin/speedseq:800-806).  Equal keys cannot span parts (a window
+    # lives on exactly one process), so stream order is deterministic.
+    streams = [_iter_part(f"{output}.part{p}.vcfraw")
+               for p in range(num_processes)]
     with VCFWriter(output, header) as w:
-        for *_, r in tagged:
-            w.write(r)
+        for _, line in heapq.merge(*streams, key=lambda t: t[0]):
+            w.write_line(line.decode())
     if output.endswith(".gz"):
         tabix_mod.build_tbi(output)
     for p in range(num_processes):
         try:
-            os.unlink(f"{output}.part{p}.pkl")
+            os.unlink(f"{output}.part{p}.vcfraw")
         except OSError:
             pass
     t_merge = _time.time() - t0
     print(f"[var-mh] p0: windows {t_windows:.2f}s exchange+merge "
           f"{t_merge:.2f}s", flush=True)
     return output
+
+
+def sv_multihost(
+    samples,
+    output: str,
+    num_processes: int,
+    process_id: int,
+    exchange_dir: str,
+    run_id: Optional[str] = None,
+    config=None,
+) -> Optional[str]:
+    """One process's share of a multi-host sv run.
+
+    Samples are assigned round-robin (``si % P == pid``) — the
+    multi-process counterpart of the reference's per-sample svtyper /
+    cnvnator loops (/root/reference/bin/speedseq:1490-1531).  Evidence
+    collection and clustering are deterministic and replicated (they
+    consume every sample's discordants/splitters); the per-sample
+    SVTyper genotyping + CNV depth work — the dominant cost — shards.
+    Results are exchanged as fixed-width f64 matrices over the same
+    transport as the align/var exchanges; process 0 writes the final
+    vcf.gz + tbi (record-identical to a single-process run,
+    tests/test_multihost.py)."""
+    from ..sv.engine import SVConfig, run_sv
+
+    cfg = config or SVConfig()
+    ex = make_exchange(exchange_dir, num_processes, process_id,
+                       run_id=run_id)
+    return run_sv(samples, output, cfg,
+                  _shard=(num_processes, process_id), _exchange=ex)
+
+
+def _sv_worker_main(argv: List[str]) -> int:
+    """Subprocess entry for one process of a multi-process sv run.
+
+    argv: output num_p pid exdir run_id sample_spec...
+    where sample_spec = name:full:splitters:discordants"""
+    if os.environ.get("SSQ_FORCE_CPU"):
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    output, num_p, pid, exdir, run_id = argv[:5]
+    from ..sv.engine import SVSample
+
+    samples = []
+    for spec in argv[5:]:
+        name, full, spl, disc = spec.split(":")
+        samples.append(SVSample(name, full, spl, disc))
+    init_distributed(num_processes=int(num_p), process_id=int(pid))
+    out = sv_multihost(samples, output, int(num_p), int(pid), exdir,
+                       run_id=run_id)
+    if out is not None:
+        print(out)
+    return 0
 
 
 def _var_worker_main(argv: List[str]) -> int:
@@ -431,6 +505,8 @@ if __name__ == "__main__":
 
     if sys.argv[1:2] == ["var"]:
         raise SystemExit(_var_worker_main(sys.argv[2:]))
+    if sys.argv[1:2] == ["sv"]:
+        raise SystemExit(_sv_worker_main(sys.argv[2:]))
     if sys.argv[1:2] == ["align"]:
         raise SystemExit(_worker_main(sys.argv[2:]))
     raise SystemExit(_worker_main(sys.argv[1:]))

@@ -261,8 +261,28 @@ def run_sv(
     samples: List[SVSample],
     output: str,
     config: SVConfig = SVConfig(),
-) -> str:
+    _shard: Optional[Tuple[int, int]] = None,
+    _exchange=None,
+) -> Optional[str]:
+    """Run the sv module; returns the output path.
+
+    ``_shard=(P, pid)`` restricts the per-sample work (SVTyper
+    genotyping + CNV depth) to samples with ``si % P == pid`` — the
+    multi-process counterpart of the reference's per-sample svtyper /
+    cnvnator fan-out (/root/reference/bin/speedseq:1490-1531).  Insert
+    stats, evidence, and clustering are deterministic and computed
+    identically on every process; per-sample results are exchanged as
+    fixed-width float64 matrices over ``_exchange`` and process 0
+    writes the final VCF (others return None)."""
+    import time as _time
+
     cfg = config
+    P_, pid_ = _shard if _shard is not None else (1, 0)
+
+    def _local(si: int) -> bool:
+        return si % P_ == pid_
+
+    t_start = _time.time()
     _convert_cram_inputs(samples, cfg)
     _ensure_side_bams(samples, cfg.verbose)
     stats = [InsertStats.from_bam(s.full) for s in samples]
@@ -288,8 +308,8 @@ def run_sv(
     warm_thread = None
     if cfg.genotype:
         genotypers = [
-            SVGenotyper(s.full, s.splitters, st)
-            for s, st in zip(samples, stats)
+            SVGenotyper(s.full, s.splitters, st) if _local(si) else None
+            for si, (s, st) in enumerate(zip(samples, stats))
         ]
         import threading
 
@@ -322,7 +342,8 @@ def run_sv(
         depth = [
             DepthProfile.from_bam(
                 s.full, cfg.reference, bin_size=cfg.cnv_bin_size)
-            for s in samples
+            if _local(si) else None
+            for si, s in enumerate(samples)
         ]
 
     fmt_keys = ["GT", "SU", "PE", "SR"]
@@ -351,18 +372,47 @@ def run_sv(
     else:
         grs_all = [_geno_sample(si) for si in range(len(samples))]
 
+    # per-sample CN arrays (local samples; NaN = no CN for this call)
+    cn_arr: List[Optional[np.ndarray]] = [None] * len(samples)
+    for si, d in enumerate(depth):
+        if d is None:
+            continue
+        cn_arr[si] = np.array([
+            (d.genotype(ref_names[c.tid1], c.pos1, max(c.pos2, c.pos1 + 1))
+             if c.svtype != BND else np.nan)
+            for c in calls
+        ], np.float64)
+
+    # read-depth side outputs (bin/speedseq:1550-1551): written by the
+    # sample's OWNER process (the DepthProfile lives there)
+    if cfg.annotate_depth:
+        base = output[:-7] if output.endswith(".vcf.gz") else output
+        for s, d in zip(samples, depth):
+            if d is not None:
+                d.write_calls_txt(f"{base}.{s.name}.readdepth.txt")
+                d.write_calls_bed(f"{base}.{s.name}.readdepth.bed")
+
+    if _shard is not None and _exchange is not None:
+        t_local = _time.time() - t_start
+        grs_all, cn_arr = _exchange_sample_results(
+            _exchange, grs_all, cn_arr, len(calls), len(samples),
+            _local, cfg.genotype)
+        print(f"[sv-mh] p{pid_}: local {t_local:.2f}s exchange "
+              f"{_time.time() - t_start - t_local:.2f}s", flush=True)
+        if pid_ != 0:
+            for g in genotypers:
+                if g is not None:
+                    g.close()
+            return None
+
     records: List[VCFRecord] = []
     for vid, call in enumerate(calls, start=1):
         grs = [grs_all[si][vid - 1] for si in range(len(samples))]
         cns = [
-            (
-                d.genotype(
-                    ref_names[call.tid1], call.pos1, max(call.pos2, call.pos1 + 1)
-                )
-                if d is not None and call.svtype != BND
-                else None
-            )
-            for d in depth
+            (float(cn_arr[si][vid - 1])
+             if cn_arr[si] is not None
+             and not np.isnan(cn_arr[si][vid - 1]) else None)
+            for si in range(len(samples))
         ]
         sample_cols = [
             _sample_format(grs[si], call, si, cns[si])
@@ -412,14 +462,78 @@ def run_sv(
             w.write(r)
     if output.endswith(".gz"):
         tabix_mod.build_tbi(output)
-    # read-depth side outputs (bin/speedseq:1550-1551)
-    if cfg.annotate_depth:
-        base = output[:-7] if output.endswith(".vcf.gz") else output
-        for s, d in zip(samples, depth):
-            if d is not None:
-                d.write_calls_txt(f"{base}.{s.name}.readdepth.txt")
-                d.write_calls_bed(f"{base}.{s.name}.readdepth.bed")
     return output
+
+
+# --------------------------------------------------------------------------
+# multi-process per-sample result exchange (parallel.multihost.sv_multihost)
+# --------------------------------------------------------------------------
+
+_GT_CODE = {"0/0": 0.0, "0/1": 1.0, "1/1": 2.0, "./.": 3.0}
+_CODE_GT = {0: "0/0", 1: "0/1", 2: "1/1", 3: "./."}
+_GR_W = 14       # packed GenotypeResult width
+
+
+def _pack_grs(grs: List[Optional[GenotypeResult]]) -> np.ndarray:
+    """GenotypeResults → (C, 14) f64 rows (NaN col 0 = None)."""
+    out = np.full((len(grs), _GR_W), np.nan)
+    for i, gr in enumerate(grs):
+        if gr is None:
+            continue
+        gl = list(gr.gl[:3]) + [0.0] * (3 - len(gr.gl[:3]))
+        out[i] = [_GT_CODE.get(gr.gt, 3.0), gr.gq, gr.sq, *gl,
+                  gr.dp, gr.ro, gr.ao, gr.rs, gr.as_, gr.rp, gr.ap, gr.ab]
+    return out
+
+
+def _unpack_grs(arr: np.ndarray) -> List[Optional[GenotypeResult]]:
+    out: List[Optional[GenotypeResult]] = []
+    for row in arr:
+        if np.isnan(row[0]):
+            out.append(None)
+            continue
+        out.append(GenotypeResult(
+            gt=_CODE_GT[int(row[0])], gq=int(row[1]), sq=float(row[2]),
+            gl=[float(x) for x in row[3:6]], dp=int(row[6]),
+            ro=int(row[7]), ao=int(row[8]), rs=int(row[9]),
+            as_=int(row[10]), rp=int(row[11]), ap=int(row[12]),
+            ab=float(row[13])))
+    return out
+
+
+def _exchange_sample_results(exchange, grs_all, cn_arr, n_calls: int,
+                             n_samples: int, is_local, genotyped: bool):
+    """Allgather per-sample genotype/CN matrices so every process holds
+    every sample's results (fixed-width f64 payloads over the same
+    transport the align/var exchanges use)."""
+    import struct as _struct
+
+    parts = []
+    for si in range(n_samples):
+        if not is_local(si):
+            continue
+        g = (_pack_grs(grs_all[si]) if genotyped
+             else np.zeros((0, _GR_W)))
+        c = cn_arr[si] if cn_arr[si] is not None else np.zeros(0)
+        parts.append(_struct.pack("<qqq", si, g.shape[0], len(c))
+                     + g.tobytes() + np.asarray(c, np.float64).tobytes())
+    payload = _struct.pack("<q", len(parts)) + b"".join(parts)
+    peers = exchange.allgather(2 ** 20, payload)
+    for pl in peers:
+        (nloc,) = _struct.unpack_from("<q", pl, 0)
+        off = 8
+        for _ in range(nloc):
+            si, gC, cC = _struct.unpack_from("<qqq", pl, off)
+            off += 24
+            if gC:
+                g = np.frombuffer(
+                    pl, np.float64, gC * _GR_W, off).reshape(gC, _GR_W)
+                off += gC * _GR_W * 8
+                grs_all[si] = _unpack_grs(g)
+            if cC:
+                cn_arr[si] = np.frombuffer(pl, np.float64, cC, off).copy()
+                off += cC * 8
+    return grs_all, cn_arr
 
 
 def _bnd_records(call, vid, ref_names, sample_cols, fmt_keys, cfg):

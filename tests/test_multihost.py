@@ -202,3 +202,79 @@ def test_two_process_collective_exchange(tmp_path):
     hdr_s, recs_s = read_bam(single["bam"])
     hdr_m, recs_m = read_bam(str(tmp_path / "coll.bam"))
     assert sorted(map(_rec_key, recs_s)) == sorted(map(_rec_key, recs_m))
+
+
+def test_two_process_sv_record_equality(tmp_path):
+    """2-process sv (per-sample genotyping fan-out + f64 result
+    exchange) must produce a vcf.gz record-identical to the 1-process
+    run (VERDICT r4 item 4; reference per-sample svtyper loop
+    bin/speedseq:1490-1505)."""
+    import gzip
+
+    from speedseq_tpu.formats.fasta import decode_bases
+    from speedseq_tpu.sv import run_sv, SVConfig
+    from speedseq_tpu.sv.engine import SVSample
+
+    g = FastaFile(REF).fetch_encoded("20_slice")[:50000]
+    sub = str(tmp_path / "sub.fa")
+    with open(sub, "w") as fh:
+        s = decode_bases(g).decode()
+        fh.write(">sub\n" + "\n".join(
+            s[i:i + 60] for i in range(0, len(s), 60)) + "\n")
+    DELp, DELl, DUPp, DUPl = 8000, 2500, 35000, 1500
+    mutant = np.concatenate([
+        g[:DELp], g[DELp + DELl:DUPp + DUPl],
+        g[DUPp:DUPp + DUPl], g[DUPp + DUPl:],
+    ])
+    samples = []
+    for k, seed in enumerate((17, 29)):
+        npairs = int(25 * len(mutant) / 200)
+        names, s1, q1, s2, q2, _ = sim.simulate_pairs(
+            mutant, npairs, read_len=100, seed=seed)
+        sim.to_fastq(str(tmp_path / f"{k}.1.fq"), str(tmp_path / f"{k}.2.fq"),
+                     names, s1, q1, s2, q2)
+        align_fastq(sub, str(tmp_path / f"{k}.1.fq"),
+                    str(tmp_path / f"{k}.2.fq"),
+                    out_prefix=str(tmp_path / f"s{k}"),
+                    config=AlignConfig(batch_size=512, sample=f"S{k}",
+                                       rg_id=f"rg{k}"))
+        samples.append(SVSample(
+            f"S{k}", str(tmp_path / f"s{k}.bam"),
+            str(tmp_path / f"s{k}.splitters.bam"),
+            str(tmp_path / f"s{k}.discordants.bam")))
+
+    single = run_sv(samples, str(tmp_path / "single.sv.vcf.gz"), SVConfig())
+
+    out_multi = str(tmp_path / "multi.sv.vcf.gz")
+    env = dict(os.environ, SSQ_FORCE_CPU="1", JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.pathsep.join(sys.path))
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "").replace(
+        "--xla_force_host_platform_device_count=8", "").strip()
+    specs = [f"{s.name}:{s.full}:{s.splitters}:{s.discordants}"
+             for s in samples]
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "speedseq_tpu.parallel.multihost",
+             "sv", out_multi, "2", str(pid), str(tmp_path / "ex"), "rsv"]
+            + specs,
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    try:
+        outs = [p.communicate(timeout=540) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se[-2000:]
+    # per-process timings printed (scaling evidence)
+    assert all("[sv-mh]" in so for so, _ in outs)
+
+    def recs(path):
+        with gzip.open(path, "rt") as fh:
+            return [l for l in fh if not l.startswith("#")]
+
+    assert recs(out_multi) == recs(single)
+    assert len(recs(single)) > 0
+    assert os.path.exists(out_multi + ".tbi")
