@@ -197,12 +197,21 @@ def align_stream(
     rg_lines: Optional[List[str]] = None,
     paired: bool = True,
     marker: Optional[StreamDupMarker] = None,
+    sorter_factory=None,
+    pre_close=None,
 ) -> Dict[str, str]:
     """Align a stream of (ReadBatch, ReadBatch|None) pairs.
 
     ReadBatch.comments entries of the form ``RG:<id>`` carry per-read
     read groups (the realign module's bamheadrg.py semantics,
     bin/speedseq:1962); otherwise cfg.rg_id applies.
+
+    ``sorter_factory(key, path, header) -> sorter`` replaces the default
+    ExternalBAMSorter per output stream (the multi-host coordinate
+    re-shard injects ReshardingSorters here); factory-made sorters are
+    closed SEQUENTIALLY in a fixed stream order so any collective
+    exchange they run during close stays order-consistent across
+    processes.
     """
     t0 = time.time()
     cfg = config
@@ -231,15 +240,13 @@ def align_stream(
     )
     from ..formats.extsort import ExternalBAMSorter
 
+    mk = sorter_factory or (lambda key, path, hdr: ExternalBAMSorter(
+        path, hdr, max_records=cfg.sort_max_records))
     sorters = {
-        "bam": ExternalBAMSorter(
-            out_prefix + ".bam", header, max_records=cfg.sort_max_records),
-        "splitters": ExternalBAMSorter(
-            out_prefix + ".splitters.bam", header,
-            max_records=cfg.sort_max_records),
-        "discordants": ExternalBAMSorter(
-            out_prefix + ".discordants.bam", header,
-            max_records=cfg.sort_max_records),
+        "bam": mk("bam", out_prefix + ".bam", header),
+        "splitters": mk("splitters", out_prefix + ".splitters.bam", header),
+        "discordants": mk(
+            "discordants", out_prefix + ".discordants.bam", header),
     }
     # an injected marker carries cross-process replicated dup state
     # (parallel.multihost.WaveSyncDupMarker); default is process-local
@@ -500,15 +507,29 @@ def align_stream(
         key, suffix = key_suffix
         sorters[key].close()
         path = out_prefix + suffix
-        bai.build_bai(path)
+        if not getattr(sorters[key], "skip_bai", False):
+            bai.build_bai(path)
         return suffix[1:], path
 
-    with ThreadPoolExecutor(max_workers=3) as close_pool:
-        outputs = dict(close_pool.map(_close_one, (
-            ("bam", ".bam"),
-            ("splitters", ".splitters.bam"),
-            ("discordants", ".discordants.bam"),
-        )))
+    if pre_close is not None:
+        # multi-host hook: pad the dup-marker's exchange waves BEFORE the
+        # sorters close — a trailing process's close-time all-to-all
+        # padding must not precede its marker padding, or the lead
+        # process (still inside a batch's marker allgather) deadlocks
+        # against it
+        pre_close()
+    close_items = (
+        ("bam", ".bam"),
+        ("splitters", ".splitters.bam"),
+        ("discordants", ".discordants.bam"),
+    )
+    if sorter_factory is not None:
+        # fixed-order sequential close: factory sorters may run
+        # collective exchanges while closing (see docstring)
+        outputs = dict(map(_close_one, close_items))
+    else:
+        with ThreadPoolExecutor(max_workers=3) as close_pool:
+            outputs = dict(close_pool.map(_close_one, close_items))
     if trace_dir:
         import jax.profiler as _prof
 

@@ -138,9 +138,15 @@ class ExternalBAMSorter:
         level: int = 6,
         tmpdir: Optional[str] = None,
         chunk_level: int = 1,
+        headerless: bool = False,
     ):
+        """``headerless=True`` writes a BGZF stream of sorted record
+        bytes with NO BAM magic/header — the per-range part format of
+        the coordinate-resharded multi-host path, where process 0
+        assembles the final BAM by concatenating BGZF members."""
         self.path = path
         self.header = header
+        self.headerless = headerless
         self.max_records = max(1, int(max_records))
         self.level = level
         self.chunk_level = chunk_level
@@ -173,13 +179,21 @@ class ExternalBAMSorter:
         per-record SAMRecord object layer never exists on this path."""
         if cols.n == 0:
             return
+        self.add_keyed_blob(cols.sort_keys(),
+                            cols.record_sizes().astype(np.int64),
+                            np.frombuffer(cols.encode(), np.uint8))
+
+    def add_keyed_blob(self, keys: np.ndarray, sizes: np.ndarray,
+                       blob: np.ndarray) -> None:
+        """Raw columnar intake: packed sort keys + per-record sizes +
+        concatenated record bytes (the exchange payload format of the
+        coordinate re-shard)."""
+        if len(keys) == 0:
+            return
         self._flush_recs()
-        blob = np.frombuffer(cols.encode(), np.uint8)
-        keys = cols.sort_keys()
-        sizes = cols.record_sizes().astype(np.int64)
         self._cb.append((keys, sizes, blob))
-        self._cn += cols.n
-        self.n_records += cols.n
+        self._cn += len(keys)
+        self.n_records += len(keys)
         if self._buffered() >= self.max_records:
             self.spill()
 
@@ -255,23 +269,32 @@ class ExternalBAMSorter:
         if self._closed:
             return
         self._closed = True
+        if self.headerless:
+            out = BGZFWriter(self.path, level=self.level)
+            w_raw = out.write
+            w_blob = lambda b: out.write(b)
+            close_out = out.close
+        else:
+            out = BAMWriter(self.path, self.header, level=self.level)
+            w_raw = out.write_raw
+            w_blob = out.write_blob
+            close_out = out.close
         if not self._chunks:
             # in-memory fast path
-            with BAMWriter(self.path, self.header, level=self.level) as w:
-                w.write_blob(self._sorted_blob().tobytes())
+            w_blob(self._sorted_blob().tobytes())
+            close_out()
             return
         self.spill()
         streams = [_ChunkStream(p) for p in self._chunks]
-        with BAMWriter(self.path, self.header, level=self.level) as w:
-            # decorate with (key, chunk_idx) so equal keys resolve in
-            # chunk (= insertion) order — global stability
-            iters = [
-                ((key, ci, raw) for key, raw in s)
-                for ci, s in enumerate(streams)
-            ]
-            write_raw = w.write_raw
-            for _key, _ci, raw in heapq.merge(*iters):
-                write_raw(raw)
+        # decorate with (key, chunk_idx) so equal keys resolve in
+        # chunk (= insertion) order — global stability
+        iters = [
+            ((key, ci, raw) for key, raw in s)
+            for ci, s in enumerate(streams)
+        ]
+        for _key, _ci, raw in heapq.merge(*iters):
+            w_raw(raw)
+        close_out()
         for s in streams:
             s.close()
             try:

@@ -141,3 +141,84 @@ def distributed_fused_step(
     if paired:
         args += (reads2, lengths2)
     return step(*args)
+
+
+# ---------------------------------------------------------------------------
+# device coordinate re-shard (SURVEY §2.3: "per-shard alignment results →
+# all-to-all for coordinate re-sharding")
+# ---------------------------------------------------------------------------
+
+KEY_SENTINEL = np.int64(2 ** 62)
+
+
+def coordinate_reshard(
+    mesh: Mesh,
+    keys: np.ndarray,        # (n_dev, n_local) int64 sort keys, SENTINEL pad
+    rows: np.ndarray,        # (n_dev, n_local, W) int64 payload columns
+    boundaries: np.ndarray,  # (n_dev - 1,) int64 range upper bounds
+    cap: Optional[int] = None,
+    axis: str = "data",
+):
+    """All-to-all re-shard of (key, payload-row) pairs to their genome-
+    range owner shard — the ICI counterpart of the reference's
+    files+sort global exchange (bin/speedseq:800-806) and of the
+    process-level ``FileExchange.alltoall`` path (the fixed-width key /
+    payload columns ride ``jax.lax.all_to_all`` collectives; record
+    BYTES stay host-side and follow via the host transport keyed by the
+    same routing).
+
+    Returns (recv_keys (n_dev, n_dev, cap), recv_rows (…, W),
+    recv_counts (n_dev, n_dev)): entry [d, p] = what shard d received
+    from shard p, in shard-p intake order.  ``cap`` bounds the per
+    (src, dst) bucket; overflow beyond cap is dropped and visible via
+    recv_counts (callers size cap for their skew)."""
+    n_dev = mesh.devices.size
+    n_local = keys.shape[1]
+    if cap is None:
+        cap = n_local
+    W = rows.shape[2]
+    # the app runs 32-bit JAX; sort keys are genuine 64-bit
+    # (tid<<33|pos<<1|rev plus the sentinel) so this program opts into
+    # x64 locally
+    enable_x64 = jax.enable_x64
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None, None), P()),
+        out_specs=(P(axis, None, None), P(axis, None, None, None),
+                   P(axis, None)),
+    )
+    def _kernel(k, r, b):
+        k = k[0]                              # (n_local,)
+        r = r[0]                              # (n_local, W)
+        n = k.shape[0]
+        tgt = jnp.searchsorted(b, k, side="right").astype(jnp.int32)
+        live = k < KEY_SENTINEL
+        tgt = jnp.where(live, tgt, n_dev)     # sentinel rows target "none"
+        order = jnp.argsort(tgt, stable=True)
+        tgt_s = tgt[order]
+        counts = jnp.bincount(tgt_s, length=n_dev + 1)[:n_dev]
+        starts = jnp.concatenate(
+            [jnp.zeros(1, counts.dtype), jnp.cumsum(counts)])
+        rank = jnp.arange(n) - starts[jnp.minimum(tgt_s, n_dev - 1)]
+        ok = (tgt_s < n_dev) & (rank < cap)
+        send_k = jnp.full((n_dev, cap), KEY_SENTINEL, jnp.int64)
+        send_r = jnp.zeros((n_dev, cap, W), jnp.int64)
+        # not-ok rows get out-of-bounds indices → scatter-dropped (an
+        # in-bounds dummy index would race real writes at that slot)
+        d_i = jnp.where(ok, tgt_s, n_dev)
+        c_i = jnp.where(ok, rank, cap)
+        send_k = send_k.at[d_i, c_i].set(k[order], mode="drop")
+        send_r = send_r.at[d_i, c_i].set(r[order], mode="drop")
+        send_c = jnp.minimum(counts, cap).astype(jnp.int32)
+        recv_k = jax.lax.all_to_all(send_k, axis, 0, 0, tiled=True)
+        recv_r = jax.lax.all_to_all(send_r, axis, 0, 0, tiled=True)
+        recv_c = jax.lax.all_to_all(send_c, axis, 0, 0, tiled=True)
+        return (recv_k.reshape(1, n_dev, cap),
+                recv_r.reshape(1, n_dev, cap, W),
+                recv_c.reshape(1, n_dev))
+
+    with enable_x64():
+        return jax.jit(_kernel)(
+            jnp.asarray(keys, jnp.int64), jnp.asarray(rows, jnp.int64),
+            jnp.asarray(boundaries, jnp.int64))

@@ -114,30 +114,47 @@ class FileExchange:
 
     def allgather(self, wave: int, payload: bytes) -> List[bytes]:
         mine = self._path(wave, self.pid)
-        tmp = mine + ".tmp"
+        self._write_atomic(mine, payload)
+        return [self._read_wait(self._path(wave, p), wave, p)
+                for p in range(self.P)]
+
+    def alltoall(self, wave: int, payloads: List[bytes]) -> List[bytes]:
+        """Send payloads[d] to process d; receive one payload from every
+        process.  File layout: one file per (wave, src, dst) — the
+        filesystem analog of a device all-to-all (SURVEY §2.3
+        coordinate re-sharding row)."""
+        assert len(payloads) == self.P
+        for d, pl in enumerate(payloads):
+            self._write_atomic(self._a2a_path(wave, self.pid, d), pl)
+        return [self._read_wait(self._a2a_path(wave, p, self.pid), wave, p)
+                for p in range(self.P)]
+
+    def _a2a_path(self, wave: int, src: int, dst: int) -> str:
+        return os.path.join(
+            self.root, f"{self.run_id}.w{wave:06d}.s{src}.p{dst}")
+
+    def _write_atomic(self, path: str, payload: bytes) -> None:
+        tmp = path + ".tmp"
         with open(tmp, "wb") as fh:
             fh.write(struct.pack("<q", len(payload)))
             fh.write(payload)
-        os.replace(tmp, mine)
-        out: List[bytes] = []
+        os.replace(tmp, path)
+
+    def _read_wait(self, path: str, wave: int, p: int) -> bytes:
         deadline = time.time() + self.timeout
-        for p in range(self.P):
-            path = self._path(wave, p)
-            while True:
-                try:
-                    with open(path, "rb") as fh:
-                        (ln,) = struct.unpack("<q", fh.read(8))
-                        data = fh.read(ln)
-                    if len(data) == ln:
-                        out.append(data)
-                        break
-                except (FileNotFoundError, struct.error):
-                    pass
-                if time.time() > deadline:
-                    raise TimeoutError(
-                        f"exchange wave {wave}: process {p} missing")
-                time.sleep(0.005)
-        return out
+        while True:
+            try:
+                with open(path, "rb") as fh:
+                    (ln,) = struct.unpack("<q", fh.read(8))
+                    data = fh.read(ln)
+                if len(data) == ln:
+                    return data
+            except (FileNotFoundError, struct.error):
+                pass
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"exchange wave {wave}: process {p} missing")
+            time.sleep(0.005)
 
 
 _EMPTY = np.zeros(0, np.int64)
@@ -168,6 +185,29 @@ class CollectiveExchange:
             buf[: len(payload)] = np.frombuffer(payload, np.uint8)
         g = np.asarray(self._mh.process_allgather(buf)).reshape(self.P, m)
         return [g[p, : lens[p]].tobytes() for p in range(self.P)]
+
+    def alltoall(self, wave: int, payloads: List[bytes]) -> List[bytes]:
+        """All-to-all over the collective transport.  Implemented as an
+        allgather of the concatenated per-destination payloads + local
+        slicing — functionally exact on any backend; on a real TPU pod
+        the device `jax.lax.all_to_all` path (parallel.mesh.
+        coordinate_reshard) carries the bulk arrays over ICI instead."""
+        assert len(payloads) == self.P
+        cat = b"".join(payloads)
+        lens = np.asarray([len(p) for p in payloads], np.int64)
+        all_lens = np.asarray(self._mh.process_allgather(lens)
+                              ).reshape(self.P, self.P)
+        m = max(int(all_lens.sum(axis=1).max()), 1)
+        buf = np.zeros(m, np.uint8)
+        if cat:
+            buf[: len(cat)] = np.frombuffer(cat, np.uint8)
+        g = np.asarray(self._mh.process_allgather(buf)).reshape(self.P, m)
+        out = []
+        for src in range(self.P):
+            off = int(all_lens[src, : self.pid].sum())
+            out.append(g[src, off: off + int(all_lens[src, self.pid])]
+                       .tobytes())
+        return out
 
 
 def make_exchange(exchange_dir: str, num_processes: int, process_id: int,
@@ -236,6 +276,134 @@ def _shard_batches(batch_iter, num_processes: int, process_id: int):
             yield item
 
 
+# ---------------------------------------------------------------------------
+# coordinate re-sharding (SURVEY §2.3: "per-shard alignment results →
+# all-to-all for coordinate re-sharding")
+# ---------------------------------------------------------------------------
+
+def coordinate_boundaries(refs, num_processes: int) -> np.ndarray:
+    """(P-1,) packed-sort-key upper bounds splitting the genome into P
+    contiguous, ~equal-bp ranges.  Keys are the samtools coordinate sort
+    key ``tid<<33|(pos+1)<<1|rev`` (bam_sort.c:1612 semantics,
+    formats/extsort.packed_keys); unmapped records (tid sentinel, max
+    key) fall into the last range."""
+    lens = np.asarray([ln for _, ln in refs], np.int64)
+    cum = np.concatenate([[0], np.cumsum(lens)])
+    total = int(cum[-1])
+    bounds = []
+    for k in range(1, num_processes):
+        target = total * k // num_processes
+        tid = int(np.searchsorted(cum, target, side="right") - 1)
+        tid = min(tid, len(lens) - 1)
+        pos = int(target - cum[tid])
+        bounds.append((np.int64(tid) << 33) | (np.int64(pos + 1) << 1))
+    return np.asarray(bounds, np.int64)
+
+
+class ReshardingSorter:
+    """Per-stream coordinate re-shard: every batch's record columns are
+    routed to their genome-range owner over ``exchange.alltoall`` and
+    each process sorts+compresses ONLY its own range into a headerless
+    BGZF part.  The final BAM is assembled by concatenating the parts'
+    BGZF members — sorting AND compression (the expensive host work)
+    distribute across processes instead of funneling through process 0's
+    k-way merge (SURVEY §2.3 communication row; the reference's analog
+    is files + text sort, bin/speedseq:800-806,2007-2010).
+
+    Wave protocol: every process calls ``add`` once per wave per stream
+    (empty batches included — ``finish`` pads to ``total_waves``), so
+    the per-(wave, stream) all-to-alls pair up across processes; within
+    a wave the receive order is process rank, which equals single-stream
+    batch order under round-robin input sharding — record order (and
+    every tie) is identical to the single-process run."""
+
+    skip_bai = True           # parts are headerless; BAI built post-assembly
+
+    def __init__(self, part_path: str, header, exchange,
+                 boundaries: np.ndarray, stream_idx: int,
+                 total_waves: int, max_records: int = 200_000):
+        from ..formats.extsort import ExternalBAMSorter
+
+        self.ex = exchange
+        self.bounds = boundaries
+        self.stream = stream_idx
+        self.total_waves = total_waves
+        self.wave = 0
+        self.part_path = part_path
+        self.inner = ExternalBAMSorter(
+            part_path, header, headerless=True, max_records=max_records)
+        self.n_records = 0
+
+    def add_columns(self, cols) -> None:
+        if cols.n == 0:
+            self._route(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                        np.zeros(0, np.uint8))
+            return
+        self._route(cols.sort_keys(),
+                    cols.record_sizes().astype(np.int64),
+                    np.frombuffer(cols.encode(), np.uint8))
+
+    def _route(self, keys, sizes, blob) -> None:
+        from ..formats.extsort import _gather_blob
+
+        P = self.ex.P
+        starts = np.zeros(len(sizes), np.int64)
+        if len(sizes):
+            np.cumsum(sizes[:-1], out=starts[1:])
+        tgt = np.searchsorted(self.bounds, keys, side="right")
+        payloads = []
+        for d in range(P):
+            sel = np.nonzero(tgt == d)[0]          # intake order preserved
+            pb = _gather_blob(blob, starts, sizes, sel)
+            payloads.append(
+                struct.pack("<q", len(sel)) + keys[sel].tobytes()
+                + sizes[sel].tobytes() + pb.tobytes())
+        got = self.ex.alltoall(self.wave * 8 + self.stream, payloads)
+        self.wave += 1
+        for pl in got:                             # rank order = batch order
+            (n,) = struct.unpack_from("<q", pl, 0)
+            if not n:
+                continue
+            k = np.frombuffer(pl, np.int64, n, 8)
+            sz = np.frombuffer(pl, np.int64, n, 8 + 8 * n)
+            bl = np.frombuffer(pl, np.uint8, offset=8 + 16 * n)
+            self.inner.add_keyed_blob(k.copy(), sz.copy(), bl.copy())
+            self.n_records += n
+
+    def finish(self) -> None:
+        while self.wave < self.total_waves:
+            self._route(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                        np.zeros(0, np.uint8))
+
+    def close(self) -> None:
+        self.finish()
+        self.inner.close()
+
+
+def _assemble_resharded(parts: List[str], header, out_path: str) -> None:
+    """Concatenate headerless per-range BGZF parts (in range order) into
+    one BAM: header member + each part minus its EOF marker + one EOF.
+    BGZF members concatenate into a valid BGZF stream, so assembly is
+    pure byte IO — no recompression on process 0."""
+    from ..formats.bam import BAMWriter
+    from ..formats.bgzf import BGZF_EOF
+
+    hdr_tmp = out_path + ".hdr.tmp"
+    BAMWriter(hdr_tmp, header).close()
+    with open(out_path, "wb") as out:
+        with open(hdr_tmp, "rb") as fh:
+            data = fh.read()
+        out.write(data[:-len(BGZF_EOF)]
+                  if data.endswith(BGZF_EOF) else data)
+        for p in parts:
+            with open(p, "rb") as fh:
+                data = fh.read()
+            out.write(data[:-len(BGZF_EOF)]
+                      if data.endswith(BGZF_EOF) else data)
+        out.write(BGZF_EOF)
+    os.unlink(hdr_tmp)
+
+
 def align_fastq_multihost(
     reference: str,
     fq1: str,
@@ -246,13 +414,22 @@ def align_fastq_multihost(
     process_id: int,
     exchange_dir: str,
     run_id: Optional[str] = None,
+    reshard: bool = False,
 ) -> Optional[dict]:
     """One process's share of a multi-host align run.
 
     Every process calls this with its process_id; process 0 returns the
     final merged output paths, others return None.  ``run_id`` must be
     identical across processes of one run and fresh per run (it scopes
-    the exchange files; see FileExchange)."""
+    the exchange files; see FileExchange).
+
+    ``reshard=True`` switches the global exchange from "per-process
+    sorted parts + process-0 k-way merge" to the coordinate re-shard
+    (ReshardingSorter): every wave's records travel to their genome-
+    range owner over the all-to-all, each process sorts+compresses only
+    its range, and process 0 assembles the final BAMs by BGZF-member
+    concatenation — the sort/compression funnel through process 0
+    disappears (SURVEY §2.3 coordinate re-sharding row)."""
     from ..align.pipeline import align_stream
     from ..formats import fastq
 
@@ -266,11 +443,24 @@ def align_fastq_multihost(
     total_waves = (len(batches) + num_processes - 1) // num_processes
     mine = [b for i, b in enumerate(batches) if i % num_processes == process_id]
     part_prefix = f"{out_prefix}.part{process_id}"
+    factory = None
+    hdr_box = {}
+    if reshard:
+        _STREAM_IDX = {"bam": 0, "splitters": 1, "discordants": 2}
+
+        def factory(key, path, header):
+            hdr_box["header"] = header
+            return ReshardingSorter(
+                f"{path}.rpart{process_id}", header, ex,
+                coordinate_boundaries(header.refs, num_processes),
+                _STREAM_IDX[key], total_waves,
+                max_records=config.sort_max_records)
+
     align_stream(
         reference, iter(mine), part_prefix, config,
-        paired=fq2 is not None, marker=marker,
+        paired=fq2 is not None, marker=marker, sorter_factory=factory,
+        pre_close=lambda: marker.finish(total_waves),
     )
-    marker.finish(total_waves)
     # barrier: announce completion, wait for all parts
     ex.allgather(10**6, b"done")
     if process_id != 0:
@@ -281,10 +471,15 @@ def align_fastq_multihost(
     outputs = {}
     for suffix, key in ((".bam", "bam"), (".splitters.bam", "splitters.bam"),
                         (".discordants.bam", "discordants.bam")):
-        parts = [f"{out_prefix}.part{p}{suffix}"
-                 for p in range(num_processes)]
         out = out_prefix + suffix
-        merge_sorted_bams(parts, out)
+        if reshard:
+            parts = [f"{out_prefix}.part{p}{suffix}.rpart{p}"
+                     for p in range(num_processes)]
+            _assemble_resharded(parts, hdr_box["header"], out)
+        else:
+            parts = [f"{out_prefix}.part{p}{suffix}"
+                     for p in range(num_processes)]
+            merge_sorted_bams(parts, out)
         bai.build_bai(out)
         outputs[key] = out
         for p in parts:
@@ -483,6 +678,7 @@ def _worker_main(argv: List[str]) -> int:
         jax.config.update("jax_platforms", "cpu")
     (reference, fq1, fq2, out_prefix, num_p, pid, exdir, batch_size,
      insert), run_id = argv[:9], (argv[9] if len(argv) > 9 else None)
+    reshard = len(argv) > 10 and argv[10] == "reshard"
     from ..align.pipeline import AlignConfig
 
     m, s, mx, mn = (float(x) for x in insert.split(","))
@@ -493,7 +689,7 @@ def _worker_main(argv: List[str]) -> int:
     init_distributed(num_processes=int(num_p), process_id=int(pid))
     outs = align_fastq_multihost(
         reference, fq1, fq2 or None, out_prefix, cfg,
-        int(num_p), int(pid), exdir, run_id=run_id,
+        int(num_p), int(pid), exdir, run_id=run_id, reshard=reshard,
     )
     if outs is not None:
         print(json.dumps(outs))

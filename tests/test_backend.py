@@ -106,3 +106,51 @@ def test_sharded_svtyper_matches_single_device():
                                     mesh=make_mesh(8))
     for a, b in zip(out0, out8):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_coordinate_reshard_all_to_all():
+    """Device all-to-all coordinate re-shard (SURVEY §2.3): every (key,
+    payload) lands on its range-owner shard, in source-intake order,
+    with counts reporting any capacity overflow."""
+    import numpy as np
+    from speedseq_tpu.parallel.mesh import (
+        KEY_SENTINEL, coordinate_reshard, make_mesh)
+
+    n_dev, n_local, W = 8, 64, 3
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(11)
+    total_span = 1 << 20
+    bounds = np.asarray(
+        [total_span * k // n_dev for k in range(1, n_dev)], np.int64)
+    keys = np.full((n_dev, n_local), KEY_SENTINEL, np.int64)
+    rows = np.zeros((n_dev, n_local, W), np.int64)
+    n_live = rng.integers(10, n_local, n_dev)
+    for p in range(n_dev):
+        k = rng.integers(0, total_span, n_live[p])
+        keys[p, : n_live[p]] = k
+        rows[p, : n_live[p], 0] = k          # payload carries its key
+        rows[p, : n_live[p], 1] = p          # and its source shard
+        rows[p, : n_live[p], 2] = np.arange(n_live[p])   # intake order
+
+    rk, rr, rc = (np.asarray(x) for x in coordinate_reshard(
+        mesh, keys, rows, bounds, cap=n_local))
+
+    for d in range(n_dev):
+        for p in range(n_dev):
+            src = keys[p, : n_live[p]]
+            want = src[np.searchsorted(bounds, src, side="right") == d]
+            got = rk[d, p, : rc[d, p]]
+            assert np.array_equal(got, want), (d, p)
+            assert (rk[d, p, rc[d, p]:] == KEY_SENTINEL).all()
+            # payload rows travel with their keys, in intake order
+            assert np.array_equal(rr[d, p, : rc[d, p], 0], want)
+            assert (rr[d, p, : rc[d, p], 1] == p).all()
+            ranks = rr[d, p, : rc[d, p], 2]
+            assert (np.diff(ranks) > 0).all()   # source order preserved
+
+    # capacity bound: cap=4 drops overflow but reports true-vs-kept via
+    # counts (callers size cap for skew)
+    rk4, _, rc4 = (np.asarray(x) for x in coordinate_reshard(
+        mesh, keys, rows, bounds, cap=4))
+    assert rc4.max() <= 4
+    assert (rk4 != KEY_SENTINEL).sum() == rc4.sum()

@@ -278,3 +278,59 @@ def test_two_process_sv_record_equality(tmp_path):
     assert recs(out_multi) == recs(single)
     assert len(recs(single)) > 0
     assert os.path.exists(out_multi + ".tbi")
+
+
+def test_two_process_reshard_record_equality(tmp_path):
+    """Coordinate re-shard mode (SURVEY §2.3 'all-to-all for coordinate
+    re-sharding'): every wave's records travel to their genome-range
+    owner, each process sorts+compresses ONLY its range, and process 0
+    assembles the final BAMs by BGZF-member concatenation — output must
+    be record-identical to the single-process run, coordinate-sorted,
+    and indexable."""
+    genome = FastaFile(REF).fetch_encoded("20_slice")
+    names, s1, q1, s2, q2, truth = sim.simulate_pairs(
+        genome, 400, read_len=100, seed=31)       # whole-slice spread
+    for dst, src in ((80, 5), (150, 5), (260, 5)):  # cross-shard dups
+        s1[dst], s2[dst], q1[dst], q2[dst] = s1[src], s2[src], q1[src], q2[src]
+    fq1, fq2 = str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq")
+    sim.to_fastq(fq1, fq2, names, s1, q1, s2, q2)
+
+    cfg = AlignConfig(batch_size=64, insert_override=INSERT)
+    single = align_fastq(REF, fq1, fq2, out_prefix=str(tmp_path / "single"),
+                         config=cfg)
+
+    env = dict(os.environ, SSQ_FORCE_CPU="1", JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.pathsep.join(sys.path))
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "").replace(
+        "--xla_force_host_platform_device_count=8", "").strip()
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "speedseq_tpu.parallel.multihost",
+             REF, fq1, fq2, str(tmp_path / "rsh"), "2", str(pid),
+             str(tmp_path / "ex"), "64",
+             ",".join(str(x) for x in INSERT), "rr", "reshard"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    try:
+        outs = [p.communicate(timeout=540) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se[-2000:]
+
+    for key in ("bam", "splitters.bam", "discordants.bam"):
+        hdr_s, recs_s = read_bam(single[key])
+        path_m = str(tmp_path / ("rsh." + key))
+        hdr_m, recs_m = read_bam(path_m)
+        assert sorted(map(_rec_key, recs_s)) == sorted(map(_rec_key, recs_m))
+        keyed = [(r.tid if r.tid >= 0 else 1 << 30, r.pos) for r in recs_m]
+        assert keyed == sorted(keyed), key
+    assert os.path.exists(str(tmp_path / "rsh.bam.bai"))
+    # external gzip interop: the concatenated-member BAM must zcat clean
+    import gzip
+
+    with gzip.open(str(tmp_path / "rsh.bam"), "rb") as fh:
+        assert fh.read(4) == b"BAM\x01"
