@@ -104,13 +104,14 @@ def _row_ops(i, H, V, ref, qc, qlen_full, p_match, p_mis, p_open, p_ext,
     return col, Hn, Vn, d, vext, fext, is_match, valid_row
 
 
-def _mk_kernel(Lq: int, Lr: int, params):
+def _mk_kernel(Lq: int, Lqp: int, Lr: int, params):
     """Score-only banded DP (no traceback state)."""
     p_match, p_mis, p_open, p_ext = params
 
     def kernel(qlen_ref, q_ref, ref_ref, score_ref, qend_ref, rend_ref,
                gscore_ref, grend_ref):
         ref = ref_ref[:].astype(jnp.int32)            # (LANES, Lr)
+        q_all = q_ref[:].astype(jnp.int32)            # (LANES, Lqp) VMEM
 
         def splat(read_scalar):
             row_id = jax.lax.broadcasted_iota(jnp.int32, (LANES, BAND), 0)
@@ -126,7 +127,11 @@ def _mk_kernel(Lq: int, Lr: int, params):
             V = carry[LANES : 2 * LANES]
             best = carry[2 * LANES : 3 * LANES]
             gbest = carry[3 * LANES : 4 * LANES]
-            qc = splat(lambda l: q_ref[l, i])
+            # q[:, i] via one lane-roll + lane-broadcast — the previous
+            # per-row splat was 64 full-vector selects PER ROW (the
+            # single biggest cost of the whole kernel)
+            qc1 = pltpu.roll(q_all, jax.lax.rem(Lqp - i, Lqp), 1)[:, :1]
+            qc = jnp.broadcast_to(qc1, (LANES, BAND))
             col, Hn, Vn, d, vext, fext, is_match, valid_row = _row_ops(
                 i, H, V, ref, qc, qlen_full, p_match, p_mis, p_open, p_ext,
                 Lq, Lr)
@@ -152,7 +157,7 @@ def _mk_kernel(Lq: int, Lr: int, params):
     return kernel
 
 
-def _mk_cigar_kernel(Lq: int, Lr: int, params, max_ops: int):
+def _mk_cigar_kernel(Lq: int, Lqp: int, Lr: int, params, max_ops: int):
     """Banded DP + in-kernel traceback: directions stay in a VMEM scratch
     (never HBM) indexed (i, lane, c), the backtrack walk runs on the
     scalar core, and the cigar comes out as SMEM scalars — one launch
@@ -165,6 +170,7 @@ def _mk_cigar_kernel(Lq: int, Lr: int, params, max_ops: int):
                gscore_ref, grend_ref, ops_ref, lens_ref, nops_ref,
                qbeg_ref, rbeg_ref, nm_ref, dirs_ref):
         ref = ref_ref[:].astype(jnp.int32)            # (LANES, Lr)
+        q_all = q_ref[:].astype(jnp.int32)            # (LANES, Lqp) VMEM
 
         def splat(read_scalar):
             row_id = jax.lax.broadcasted_iota(jnp.int32, (LANES, BAND), 0)
@@ -182,7 +188,8 @@ def _mk_cigar_kernel(Lq: int, Lr: int, params, max_ops: int):
             gbest = carry[3 * LANES : 4 * LANES]
             runs = carry[4 * LANES : 5 * LANES]
             misrun = carry[5 * LANES : 6 * LANES]
-            qc = splat(lambda l: q_ref[l, i])
+            qc1 = pltpu.roll(q_all, jax.lax.rem(Lqp - i, Lqp), 1)[:, :1]
+            qc = jnp.broadcast_to(qc1, (LANES, BAND))
             col, Hn, Vn, d, vext, fext, is_match, valid_row = _row_ops(
                 i, H, V, ref, qc, qlen_full, p_match, p_mis, p_open, p_ext,
                 Lq, Lr)
@@ -335,6 +342,9 @@ def sw_pallas_cigar(
     N, Lq = query.shape
     Lr = ref.shape[1]
     assert N % LANES == 0 and Lr <= 256
+    Lqp = ((Lq + 127) // 128) * 128       # 128-lane pad for the roll
+    qpad = jnp.pad(query.astype(jnp.int32), ((0, 0), (0, Lqp - Lq)),
+                   constant_values=4)
     grid = (N // LANES,)
     vm = lambda: pl.BlockSpec((LANES, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     sm = lambda w: pl.BlockSpec((LANES, w), lambda i: (i, 0), memory_space=pltpu.SMEM)
@@ -350,11 +360,11 @@ def sw_pallas_cigar(
     ]
     out_specs += [sm(max_ops), sm(max_ops), sm(1), sm(1), sm(1), sm(1)]
     outs = pl.pallas_call(
-        _mk_cigar_kernel(Lq, Lr, params, max_ops),
+        _mk_cigar_kernel(Lq, Lqp, Lr, params, max_ops),
         grid=grid,
         in_specs=[
             pl.BlockSpec((LANES, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((LANES, Lq), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((LANES, Lqp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((LANES, Lr), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
@@ -363,7 +373,7 @@ def sw_pallas_cigar(
         interpret=interpret,
     )(
         qlen[:, None].astype(jnp.int32),
-        query.astype(jnp.int32),
+        qpad,
         ref.astype(jnp.int32),
     )
     (score, qend, rend, gscore, grend,
@@ -389,6 +399,9 @@ def sw_pallas(
     N, Lq = query.shape
     Lr = ref.shape[1]
     assert N % LANES == 0 and Lr <= 256
+    Lqp = ((Lq + 127) // 128) * 128
+    qpad = jnp.pad(query.astype(jnp.int32), ((0, 0), (0, Lqp - Lq)),
+                   constant_values=4)
     grid = (N // LANES,)
     out_shape = [
         jax.ShapeDtypeStruct((N, 1), jnp.int32)  # score/qend/rend/gscore/grend
@@ -399,11 +412,11 @@ def sw_pallas(
         for _ in range(5)
     ]
     outs = pl.pallas_call(
-        _mk_kernel(Lq, Lr, params),
+        _mk_kernel(Lq, Lqp, Lr, params),
         grid=grid,
         in_specs=[
             pl.BlockSpec((LANES, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((LANES, Lq), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((LANES, Lqp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((LANES, Lr), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
@@ -411,7 +424,7 @@ def sw_pallas(
         interpret=interpret,
     )(
         qlen[:, None].astype(jnp.int32),
-        query.astype(jnp.int32),
+        qpad,
         ref.astype(jnp.int32),
     )
     score, qend, rend, gscore, grend = [o[:, 0] for o in outs[:5]]
