@@ -50,64 +50,87 @@ def _open(path: str):
     return fh
 
 
-def iter_records(path: str) -> Iterator[Tuple[str, str, bytes, bytes]]:
-    """Yield (name, comment, seq_bytes, qual_bytes) per record.
+def _iter_line_blocks(path: str, n_lines: int) -> Iterator[List[bytes]]:
+    """Yield lists of whole-record lines (len multiple of 4, ≤ n_lines).
 
-    Chunked: the stream is read in 4 MiB blocks and split into lines in
-    one C pass (a per-record readline loop was the e2e pipeline's
-    largest single host cost)."""
+    The stream is read in 4 MiB chunks and split into lines in one C
+    pass; records are never materialized as per-record tuples (the
+    per-record generator layers were ~1 s per 80k pairs of the e2e
+    align pipeline)."""
     with _open(path) as fh:
         tail = b""
-        carry: List[bytes] = []
+        buf: List[bytes] = []
         while True:
             chunk = fh.read(1 << 22)
             if not chunk:
-                if tail.strip() or carry:
-                    lines = carry + ([tail] if tail.strip() else [])
-                    if len(lines) % 4:
-                        raise ValueError("truncated FASTQ record")
-                    yield from _parse_lines(lines)
+                if tail.strip():
+                    buf.append(tail)
+                if len(buf) % 4:
+                    raise ValueError("truncated FASTQ record")
+                if buf:
+                    yield buf
                 return
             lines = (tail + chunk).split(b"\n")
             tail = lines.pop()
-            lines = carry + [l for l in lines if l]
-            nl = len(lines) - (len(lines) % 4)
-            carry = lines[nl:]
-            yield from _parse_lines(lines[:nl])
+            buf.extend(l for l in lines if l)
+            while len(buf) >= n_lines:
+                yield buf[:n_lines]
+                buf = buf[n_lines:]
 
 
-def _parse_lines(lines: List[bytes]):
-    for i in range(0, len(lines), 4):
-        hdr = lines[i].rstrip(b"\r")
-        seq = lines[i + 1].rstrip(b"\r")
-        plus = lines[i + 2]
-        qual = lines[i + 3].rstrip(b"\r")
-        if not hdr.startswith(b"@"):
-            raise ValueError(f"bad FASTQ header: {hdr[:50]!r}")
-        if not plus.startswith(b"+") or len(seq) != len(qual):
-            raise ValueError("malformed FASTQ record")
-        parts = hdr[1:].split(None, 1)
+def _parse_block(lines: List[bytes]):
+    """4k-line block → (names, comments, seqs, quals) column lists."""
+    hdrs = lines[0::4]
+    seqs = lines[1::4]
+    plus = lines[2::4]
+    quals = lines[3::4]
+    # CRLF normalization decided once per block (uniform line endings)
+    if hdrs and (hdrs[0].endswith(b"\r") or quals[0].endswith(b"\r")):
+        hdrs = [h.rstrip(b"\r") for h in hdrs]
+        seqs = [s.rstrip(b"\r") for s in seqs]
+        quals = [q.rstrip(b"\r") for q in quals]
+    if any(not h.startswith(b"@") for h in hdrs):
+        bad = next(h for h in hdrs if not h.startswith(b"@"))
+        raise ValueError(f"bad FASTQ header: {bad[:50]!r}")
+    m = len(seqs)
+    lens = np.fromiter(map(len, seqs), np.int64, m)
+    lens_q = np.fromiter(map(len, quals), np.int64, m)
+    if any(not p.startswith(b"+") for p in plus) or not np.array_equal(
+            lens, lens_q):
+        raise ValueError("malformed FASTQ record")
+    names: List[str] = []
+    comments: List[str] = []
+    for h in hdrs:
+        body = h[1:]
+        parts = body.split(None, 1)
         name = parts[0].decode()
         # bwa strips trailing /1 /2 mate markers from read names
         if len(name) > 2 and name[-2] == "/" and name[-1] in "12":
             name = name[:-2]
-        comment = parts[1].decode() if len(parts) > 1 else ""
-        yield name, comment, seq, qual
+        names.append(name)
+        comments.append(parts[1].decode() if len(parts) > 1 else "")
+    return names, comments, seqs, quals, lens
 
 
-def _batch(records, max_len: int) -> ReadBatch:
-    n = len(records)
+def iter_records(path: str) -> Iterator[Tuple[str, str, bytes, bytes]]:
+    """Yield (name, comment, seq_bytes, qual_bytes) per record (thin
+    per-record view over the block reader)."""
+    for block in _iter_line_blocks(path, 4096 * 4):
+        yield from zip(*_parse_block(block)[:4])
+
+
+def _batch(cols, max_len: int) -> ReadBatch:
+    names, comments, seqs, quals, full_lens = cols
+    n = len(names)
+    full_lens = np.ascontiguousarray(full_lens, np.int64)
     # size the batch to the data: width = actual max read length rounded
     # up to 16 (bounds the number of distinct compiled shapes while not
     # paying kernel width for a 151 bp cap on 100 bp data)
-    width = max((len(r[2]) for r in records), default=1)
-    width = min(max_len, ((width + 15) // 16) * 16)
-    # vectorized encode: one concatenated buffer + one table gather
-    # (per-record encode_bases/frombuffer calls dominated _batch)
-    full_lens = np.fromiter((len(r[2]) for r in records), np.int64, n)
+    width = int(full_lens.max()) if n else 1
+    width = min(max_len, ((max(width, 1) + 15) // 16) * 16)
     length = np.minimum(full_lens, width).astype(np.int32)
-    cat_s = np.frombuffer(b"".join(r[2] for r in records), np.uint8)
-    cat_q = np.frombuffer(b"".join(r[3] for r in records), np.uint8)
+    cat_s = np.frombuffer(b"".join(seqs), np.uint8)
+    cat_q = np.frombuffer(b"".join(quals), np.uint8)
     offs = np.zeros(n, np.int64)
     np.cumsum(full_lens[:-1], out=offs[1:])
     idx = offs[:, None] + np.arange(width)[None, :]
@@ -117,9 +140,8 @@ def _batch(records, max_len: int) -> ReadBatch:
                    else np.uint8(4), np.uint8(4))
     qual = np.where(valid, (cat_q[idx] - 33) if len(cat_q)
                     else np.uint8(0), np.uint8(0)).astype(np.uint8)
-    names = [r[0] for r in records]
-    comments = [r[1] for r in records]
-    return ReadBatch(seq.astype(np.uint8), qual, length, names, comments)
+    return ReadBatch(seq.astype(np.uint8), qual, length, list(names),
+                     list(comments))
 
 
 def iter_batches(
@@ -138,39 +160,44 @@ def iter_batches(
     - else: single-end, second element is None
     """
     if paired_with is not None:
-        it1, it2 = iter_records(path), iter_records(paired_with)
+        it1 = _iter_line_blocks(path, 4 * batch_size)
+        it2 = _iter_line_blocks(paired_with, 4 * batch_size)
         while True:
-            r1 = list(_take(it1, batch_size))
-            r2 = list(_take(it2, batch_size))
-            if not r1:
+            b1 = next(it1, None)
+            b2 = next(it2, None)
+            if b1 is None and b2 is None:
                 return
-            if len(r1) != len(r2):
+            if b1 is None or b2 is None or len(b1) != len(b2):
                 raise ValueError("paired FASTQ files have unequal lengths")
-            yield _batch(r1, max_len), _batch(r2, max_len)
+            yield (_batch(_parse_block(b1), max_len),
+                   _batch(_parse_block(b2), max_len))
     elif interleaved:
-        it = iter_records(path)
+        it = _iter_line_blocks(path, 8 * batch_size)
+        carry: Optional[List[bytes]] = None
         while True:
-            recs = list(_take(it, batch_size * 2))
-            if not recs:
+            block = next(it, None)
+            if block is None:
+                if carry:
+                    raise ValueError("odd record count in interleaved FASTQ")
                 return
-            if len(recs) % 2:
-                raise ValueError("odd record count in interleaved FASTQ")
-            yield _batch(recs[0::2], max_len), _batch(recs[1::2], max_len)
+            if carry:
+                block = carry + block
+                carry = None
+            if (len(block) // 4) % 2:
+                carry = block[-4:]        # odd trailing record: next block
+                block = block[:-4]
+                if not block:
+                    continue
+            cols = _parse_block(block)
+            yield (_batch(tuple(c[0::2] for c in cols), max_len),
+                   _batch(tuple(c[1::2] for c in cols), max_len))
     else:
-        it = iter_records(path)
+        it = _iter_line_blocks(path, 4 * batch_size)
         while True:
-            recs = list(_take(it, batch_size))
-            if not recs:
+            block = next(it, None)
+            if block is None:
                 return
-            yield _batch(recs, max_len), None
-
-
-def _take(it, n):
-    for _ in range(n):
-        try:
-            yield next(it)
-        except StopIteration:
-            return
+            yield _batch(_parse_block(block), max_len), None
 
 
 def write_fastq(path: str, names, seqs, quals, comments=None) -> None:
