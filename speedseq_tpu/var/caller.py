@@ -784,51 +784,63 @@ def _log_priors(theta: float) -> np.ndarray:
     return lp
 
 
-def call_window(
+@dataclass
+class PreparedWindow:
+    """Host-built loci + per-site compacted device inputs for one window
+    (the unit the cross-window batched dispatch concatenates)."""
+
+    loci: List[_Locus]
+    obs: np.ndarray        # (S, Rc) int8 compacted
+    quals: np.ndarray      # (S, Rc) f32
+    sample: np.ndarray     # (S, Rc) int32
+    rpos: np.ndarray       # (S, Rc) int32
+    strand: np.ndarray     # (S, Rc) int8
+    rlen_half: np.ndarray  # (S, Rc) f32
+    n_alts: np.ndarray     # (S,) int32
+
+
+def prepare_window(
     genome: np.ndarray,
     p: WindowPileup,
     n_samples: int,
     cfg: CallerConfig = CallerConfig(),
-    mesh=None,
-) -> List[SiteCall]:
-    """Genotype all candidate loci of one window pileup.
-
-    The numeric core (GL terms, per-sample reductions, GQ, posterior
-    QUAL, placement/strand balance) runs as one fused device program
-    (var.device.genotype_sites); the host builds loci and emits records.
-    ``mesh`` shards the site axis over the device mesh."""
+) -> Optional[PreparedWindow]:
+    """Host phase of call_window: candidate loci + compacted site
+    arrays; no device dispatch (so many windows can batch into ONE
+    genotyping program — each per-window dispatch+fetch costs a relay
+    round trip, docs/PERF_NOTES.md)."""
     R = len(p.rstart)
     if R == 0:
-        return []
+        return None
     sample_of_read = np.asarray(p.sample_of_read, np.int32)
     loci = _build_loci(genome, p, n_samples, cfg, sample_of_read)
     if not loci:
-        return []
-    S = len(loci)
+        return None
     strand_of_read = np.asarray(p.strand, np.int8)
     rlen_half = np.where(p.read_len > 0, p.read_len / 2.0, 50.0)
-
     obs = np.stack([l.obs for l in loci])                  # (S, R)
     quals = np.stack([l.quals for l in loci]).astype(np.float32)
     n_alts = np.array([len(l.alts) for l in loci], np.int32)
     rpos = np.stack([p.col(l.anchor)[2] for l in loci])    # (S, R)
 
-    from .device import genotype_sites
+    from .device import compact_site_reads
 
-    # pooled-discrete somatic mode: freebayes evaluates the DISCRETE
-    # JOINT genotype space over [normal, tumor]
-    # (/root/reference/bin/speedseq:1059-1067), not independent
-    # per-sample argmaxes — GT/GQ/QUAL come from the joint posterior
-    # with the ESF combination prior; per-sample GLs are unchanged
-    # (the SSC filter consumes those marginals).  The joint runs inside
-    # the same fused device program (g.joint) — zero extra dispatches.
-    g = genotype_sites(
-        obs, quals, sample_of_read, rpos, strand_of_read, rlen_half,
-        n_alts, cfg.theta, n_samples, mesh=mesh,
-        pooled=cfg.pooled_discrete and n_samples == 2,
-    )
+    c_obs, c_quals, c_sam, c_rpos, c_str, c_rl = compact_site_reads(
+        obs, quals, sample_of_read, rpos, strand_of_read,
+        rlen_half.astype(np.float32))
+    return PreparedWindow(
+        loci=loci, obs=c_obs, quals=c_quals, sample=c_sam, rpos=c_rpos,
+        strand=c_str, rlen_half=c_rl, n_alts=n_alts)
+
+
+def finish_window(
+    pw: PreparedWindow, g, cfg: CallerConfig,
+) -> List[SiteCall]:
+    """Emit SiteCalls from a window's device results (g may be a slice
+    of a batched multi-window program's outputs)."""
+    loci = pw.loci
+    obs = pw.obs
     joint = g.joint
-
     out: List[SiteCall] = []
     for s, l in enumerate(loci):
         A = len(l.alts)
@@ -862,6 +874,82 @@ def call_window(
                 saf=g.saf[s, :A], sar=g.sar[s, :A],
             )
         )
+    return out
+
+
+def call_window(
+    genome: np.ndarray,
+    p: WindowPileup,
+    n_samples: int,
+    cfg: CallerConfig = CallerConfig(),
+    mesh=None,
+) -> List[SiteCall]:
+    """Genotype all candidate loci of one window pileup (single-window
+    convenience: prepare → one fused device program → emit).
+
+    The numeric core (GL terms, per-sample reductions, GQ, posterior
+    QUAL, placement/strand balance, pooled-discrete joint) runs as one
+    fused device program (var.device.genotype_sites); the host builds
+    loci and emits records.  ``mesh`` shards the site axis.  The var
+    engine batches MANY windows into one program instead
+    (genotype_windows) — one relay round trip per run, not per window."""
+    pw = prepare_window(genome, p, n_samples, cfg)
+    if pw is None:
+        return []
+    from .device import genotype_sites
+
+    g = genotype_sites(
+        pw.obs, pw.quals, pw.sample, pw.rpos, pw.strand, pw.rlen_half,
+        pw.n_alts, cfg.theta, n_samples, mesh=mesh,
+        pooled=cfg.pooled_discrete and n_samples == 2,
+    )
+    return finish_window(pw, g, cfg)
+
+
+def genotype_windows(
+    prepared: List[Optional[PreparedWindow]],
+    n_samples: int,
+    cfg: CallerConfig,
+    mesh=None,
+) -> List[Optional["object"]]:
+    """Run ONE fused genotyping program over every prepared window's
+    sites (site axes concatenated, read axes padded to the widest
+    window's compacted coverage) and slice the results back per window.
+
+    Collapses the per-window dispatch+fetch round trips — the dominant
+    relay-latency term of var/somatic once the host phases are
+    vectorized (docs/PERF_NOTES.md r5)."""
+    from .device import genotype_sites, slice_genotypes
+
+    live = [(i, pw) for i, pw in enumerate(prepared) if pw is not None]
+    out: List[Optional[object]] = [None] * len(prepared)
+    if not live:
+        return out
+    # group by the compacted read width Rc (already 128-bucketed per
+    # window): padding every window to the WIDEST window's coverage
+    # would re-introduce the dense-axis waste the per-site compaction
+    # removed; distinct Rc values are few, so this stays O(1) dispatches
+    by_rc: Dict[int, List[Tuple[int, PreparedWindow]]] = {}
+    for i, pw in live:
+        by_rc.setdefault(pw.obs.shape[1], []).append((i, pw))
+    pooled = cfg.pooled_discrete and n_samples == 2
+    for rc, group in sorted(by_rc.items()):
+        obs = np.concatenate([pw.obs for _, pw in group])
+        quals = np.concatenate([pw.quals for _, pw in group])
+        sample = np.concatenate([pw.sample for _, pw in group])
+        rpos = np.concatenate([pw.rpos for _, pw in group])
+        strand = np.concatenate([pw.strand for _, pw in group])
+        rlen_half = np.concatenate([pw.rlen_half for _, pw in group])
+        n_alts = np.concatenate([pw.n_alts for _, pw in group])
+        g_all = genotype_sites(
+            obs, quals, sample, rpos, strand, rlen_half, n_alts,
+            cfg.theta, n_samples, mesh=mesh, pooled=pooled,
+        )
+        at = 0
+        for i, pw in group:
+            S = len(pw.loci)
+            out[i] = slice_genotypes(g_all, at, at + S)
+            at += S
     return out
 
 

@@ -224,6 +224,66 @@ def _bucket(n: int, mult: int) -> int:
     return max(mult, ((n + mult - 1) // mult) * mult)
 
 
+def compact_site_reads(
+    obs: np.ndarray,
+    quals: np.ndarray,
+    sample: np.ndarray,     # (R,) per-window-read sample column
+    rpos: np.ndarray,
+    strand: np.ndarray,     # (R,)
+    rlen_half: np.ndarray,  # (R,)
+):
+    """Per-site read compaction: gather each site's covering reads to
+    the front and truncate the read axis to the (128-bucketed) max
+    coverage — a window's read set is 100-1000× larger than any one
+    site's coverage (docs/PERF_NOTES.md r4).  Returns the 6 compacted
+    (S, Rc) arrays."""
+    obs = np.asarray(obs, np.int8)
+    quals = np.asarray(quals, np.float32)
+    rpos = np.asarray(rpos, np.int32)
+    sample = np.asarray(sample, np.int32)
+    strand = np.asarray(strand, np.int8)
+    rlen_half = np.asarray(rlen_half, np.float32)
+    S, R = obs.shape
+    cover = obs >= 0
+    n_cov = cover.sum(axis=1)
+    max_cov = int(n_cov.max()) if S else 0
+    Rc = min(R, _bucket(max(max_cov, 1), 128))
+    # stable partition via row-major nonzero ranks — O(nnz): within
+    # each site row, nonzero() yields covering reads in read order,
+    # so a read's destination slot is its index minus the row start
+    idx = np.zeros((S, Rc), np.int32)
+    s_i, r_i = np.nonzero(cover)
+    row_start = np.zeros(S, np.int64)
+    np.cumsum(n_cov[:-1], out=row_start[1:])
+    dst = np.arange(len(s_i), dtype=np.int64) - row_start[s_i]
+    keepm = dst < Rc
+    idx[s_i[keepm], dst[keepm]] = r_i[keepm]
+    obs = np.take_along_axis(obs, idx, 1)
+    # slots beyond a site's coverage gathered read 0's values —
+    # force them back to "no observation"
+    invalid = np.arange(Rc)[None, :] >= n_cov[:, None]
+    obs[invalid] = -1
+    quals = np.take_along_axis(quals, idx, 1)
+    rpos = np.take_along_axis(rpos, idx, 1)
+    rpos[invalid] = -1
+    return (obs, quals, sample[idx], rpos, strand[idx], rlen_half[idx])
+
+
+def slice_genotypes(g: "SiteGenotypes", lo: int, hi: int) -> "SiteGenotypes":
+    """Site-axis slice of a (possibly multi-window batched) result."""
+    joint = None
+    if g.joint is not None:
+        joint = JointGenotypes(
+            gn=g.joint.gn[lo:hi], gt=g.joint.gt[lo:hi],
+            gq=g.joint.gq[lo:hi], qual=g.joint.qual[lo:hi])
+    return SiteGenotypes(
+        gl=g.gl[lo:hi], gt_idx=g.gt_idx[lo:hi], gq=g.gq[lo:hi],
+        qual=g.qual[lo:hi], dp=g.dp[lo:hi], ro=g.ro[lo:hi],
+        ao=g.ao[lo:hi], qr=g.qr[lo:hi], qa=g.qa[lo:hi],
+        rpl=g.rpl[lo:hi], rpr=g.rpr[lo:hi], saf=g.saf[lo:hi],
+        sar=g.sar[lo:hi], joint=joint)
+
+
 def genotype_sites(
     obs: np.ndarray,
     quals: np.ndarray,
@@ -251,39 +311,10 @@ def genotype_sites(
     sample = np.asarray(sample, np.int32)
     strand = np.asarray(strand, np.int8)
     rlen_half = np.asarray(rlen_half, np.float32)
-    S, R = obs.shape
     if sample.ndim == 1:
-        # per-site compaction: a window's read set is 100-1000× larger
-        # than any one site's coverage — gather covering reads to the
-        # front and truncate the read axis to the max coverage
-        cover = obs >= 0
-        n_cov = cover.sum(axis=1)
-        max_cov = int(n_cov.max()) if S else 0
-        Rc = min(R, _bucket(max(max_cov, 1), 128))
-        # stable partition via row-major nonzero ranks — O(nnz): within
-        # each site row, nonzero() yields covering reads in read order,
-        # so a read's destination slot is its index minus the row start
-        # (an (S, R) cumsum materialized an int64 matrix 8× the obs
-        # matrix and was ~20% of somatic wall time)
-        idx = np.zeros((S, Rc), np.int32)
-        s_i, r_i = np.nonzero(cover)
-        row_start = np.zeros(S, np.int64)
-        np.cumsum(n_cov[:-1], out=row_start[1:])
-        dst = np.arange(len(s_i), dtype=np.int64) - row_start[s_i]
-        keepm = dst < Rc
-        idx[s_i[keepm], dst[keepm]] = r_i[keepm]
-        obs = np.take_along_axis(obs, idx, 1)
-        # slots beyond a site's coverage gathered read 0's values —
-        # force them back to "no observation"
-        invalid = np.arange(Rc)[None, :] >= n_cov[:, None]
-        obs[invalid] = -1
-        quals = np.take_along_axis(quals, idx, 1)
-        rpos = np.take_along_axis(rpos, idx, 1)
-        rpos[invalid] = -1
-        sample = sample[idx]
-        strand = strand[idx]
-        rlen_half = rlen_half[idx]
-        R = Rc
+        obs, quals, sample, rpos, strand, rlen_half = compact_site_reads(
+            obs, quals, sample, rpos, strand, rlen_half)
+    S, R = obs.shape
     Sp = _bucket(S, 64)
     Rp = _bucket(R, 128)
     if mesh is not None:

@@ -264,10 +264,14 @@ def run_var(
         from ..parallel.mesh import make_mesh
         mesh = make_mesh()
 
-    def _one_window(item: Tuple[int, BedInterval]):
+    from .caller import finish_window, genotype_windows, prepare_window
+    from ..utils.metrics import metrics
+
+    def _prep_window(item: Tuple[int, BedInterval]):
+        """Host phase: fetch + pileup + loci/compaction (no device)."""
         wi, w = item
         if w.chrom not in ref_names:
-            return wi, []
+            return wi, w, None
         tid = ref_names.index(w.chrom)
         genome = _genome(w.chrom)
         if use_columnar:
@@ -280,7 +284,7 @@ def run_var(
                 parts.append(c)
                 sids.append(_columnar_sample_ids(c, bi, rg_map, default_map))
             if not parts:
-                return wi, []
+                return wi, w, None
             pile = build_pileup_columns(
                 _concat_cols(parts), np.concatenate(sids), w.start, w.end,
                 min_mapq=cfg.caller.min_mapq,
@@ -296,19 +300,38 @@ def run_var(
                     si = rg_map.get((bi, rg), default_map.get(bi, 0))
                     recs.append((rec, si))
             if not recs:
-                return wi, []
+                return wi, w, None
             pile = build_pileup(
                 recs, w.start, w.end,
                 min_mapq=cfg.caller.min_mapq,
                 min_baseq=cfg.caller.min_baseq,
             )
-        from ..utils.metrics import metrics
-
         metrics.add("var.windows")
         metrics.add("var.reads", len(pile.rstart))
-        with metrics.timer("var.genotype"):
-            calls = call_window(genome, pile, len(samples), cfg.caller,
-                                mesh=mesh)
+        return wi, w, prepare_window(genome, pile, len(samples), cfg.caller)
+
+    def _prep_safe(item):
+        """Window-failure tolerance: the reference merges windows with
+        ``|| true`` so one empty/failed window never aborts the run
+        (bin/speedseq:768,803).  A failing window logs and yields no
+        records; the merge proceeds."""
+        try:
+            return _prep_window(item)
+        except Exception as e:  # noqa: BLE001 — deliberate containment
+            import traceback
+
+            wi, w = item
+            metrics.add("var.windows_failed")
+            print(f"[var] window {w.chrom}:{w.start}-{w.end} failed: "
+                  f"{type(e).__name__}: {e}", flush=True)
+            if cfg.verbose:
+                traceback.print_exc()
+            return wi, w, None
+
+    def _emit(wi, w, pw, g):
+        if pw is None or g is None:
+            return wi, []
+        calls = finish_window(pw, g, cfg.caller)
         metrics.add("var.sites", len(calls))
         out = []
         for c in calls:
@@ -324,37 +347,48 @@ def run_var(
             print(f"[var] {w.chrom}:{w.start}-{w.end}: {len(calls)} sites")
         return wi, out
 
-    def _one_window_safe(item):
-        """Window-failure tolerance: the reference merges windows with
-        ``|| true`` so one empty/failed window never aborts the run
-        (bin/speedseq:768,803).  A failing window logs and yields no
-        records; the merge proceeds."""
-        try:
-            return _one_window(item)
-        except Exception as e:  # noqa: BLE001 — deliberate containment
-            import traceback
-
-            wi, w = item
-            from ..utils.metrics import metrics
-
-            metrics.add("var.windows_failed")
-            print(f"[var] window {w.chrom}:{w.start}-{w.end} failed: "
-                  f"{type(e).__name__}: {e}", flush=True)
-            if cfg.verbose:
-                traceback.print_exc()
-            return wi, []
-
     items = list(enumerate(windows))
     if _shard is not None:
         P_, pid_ = _shard
         items = [it for it in items if it[0] % P_ == pid_]
     results = []
     try:
-        if cfg.threads > 1:
+        if cfg.threads > 1 and len(items) > 1:
             with ThreadPoolExecutor(max_workers=cfg.threads) as pool:
-                results = list(pool.map(_one_window_safe, items))
+                prepped = list(pool.map(_prep_safe, items))
         else:
-            results = [_one_window_safe(it) for it in items]
+            prepped = [_prep_safe(it) for it in items]
+        # ONE fused genotyping program over every window's sites — the
+        # per-window dispatch+fetch round trips were the dominant relay
+        # latency term of var/somatic (docs/PERF_NOTES.md r5)
+        with metrics.timer("var.genotype"):
+            try:
+                gs = genotype_windows(
+                    [pw for _, _, pw in prepped], len(samples),
+                    cfg.caller, mesh=mesh)
+            except Exception as e:  # noqa: BLE001 — per-window fallback
+                print(f"[var] batched genotyping failed "
+                      f"({type(e).__name__}: {e}); falling back "
+                      f"per-window", flush=True)
+                from .device import genotype_sites
+
+                gs = []
+                for _, _, pw in prepped:
+                    if pw is None:
+                        gs.append(None)
+                        continue
+                    try:
+                        gs.append(genotype_sites(
+                            pw.obs, pw.quals, pw.sample, pw.rpos,
+                            pw.strand, pw.rlen_half, pw.n_alts,
+                            cfg.caller.theta, len(samples), mesh=mesh,
+                            pooled=cfg.caller.pooled_discrete
+                            and len(samples) == 2))
+                    except Exception:
+                        metrics.add("var.windows_failed")
+                        gs.append(None)
+        results = [_emit(wi, w, pw, g)
+                   for (wi, w, pw), g in zip(prepped, gs)]
     finally:
         for rds in all_readers:
             for rd in rds:
