@@ -237,13 +237,14 @@ def _collect_atoms(
     alt_counts[np.arange(L), ref_safe] = 0
     M = n_samples
     spans = (p.rend - p.rstart).astype(np.int64)
-    rid_flat = np.repeat(np.arange(len(spans), dtype=np.int64), spans)
-    col_flat = (np.arange(len(p.flat_proj), dtype=np.int64)
-                - np.repeat(p.base_idx, spans)
-                + np.repeat(p.rstart.astype(np.int64), spans))
+    # two O(bases) int32 repeats (not three int64 ones): per-entry column
+    # = arange + per-read offset; per-entry sample repeated directly
+    off_r = (p.rstart.astype(np.int64) - p.base_idx).astype(np.int32)
+    col_flat = (np.arange(len(p.flat_proj), dtype=np.int32)
+                + np.repeat(off_r, spans))
+    sam_flat = np.repeat(sample_of_read.astype(np.int32), spans)
     good = p.flat_proj >= 0
-    fi = ((col_flat[good] * 5 + p.flat_proj[good]) * M
-          + sample_of_read[rid_flat[good]])
+    fi = ((col_flat[good] * 5 + p.flat_proj[good]) * M + sam_flat[good])
     counts_sm = np.bincount(fi, minlength=L * 5 * M).reshape(L, 5, M)
     depth_sm = counts_sm.sum(axis=1)                       # (L, M)
     frac_ok = (counts_sm[:, :4]

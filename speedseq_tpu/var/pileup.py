@@ -76,23 +76,41 @@ class WindowPileup:
         default_factory=lambda: np.zeros(0, np.int32))       # seq length
     read_seq: np.ndarray = field(
         default_factory=lambda: np.zeros((0, 0), np.uint8))  # (R, Lmax) codes
+    # lazy col() acceleration (built on first column gather)
+    _srt: Optional[np.ndarray] = field(default=None, repr=False)
+    _rs_sorted: Optional[np.ndarray] = field(default=None, repr=False)
+    _span_max: int = field(default=0, repr=False)
 
     def col(self, off: int):
         """Gather window offset `off` across all reads.
 
         Returns (proj, qual, rpos) each (R,): base code / qual /
         read-position, with -1 / 0 / -1 for reads not covering `off`.
-        """
+
+        Candidate reads come from a one-time rstart sort + searchsorted
+        window (reads covering `off` start within span_max of it), so a
+        column gather touches O(depth) reads, not all R of the window —
+        col() runs once per locus/anchor and the full-R boolean masks
+        were ~0.3 s of a somatic slice run."""
         R = len(self.rstart)
         proj = np.full(R, -1, np.int8)
         qual = np.zeros(R, np.int8)
         rpos = np.full(R, -1, np.int32)
-        m = (self.rstart <= off) & (off < self.rend)
-        if m.any():
-            idx = self.base_idx[m] + (off - self.rstart[m])
-            proj[m] = self.flat_proj[idx]
-            qual[m] = self.flat_qual[idx]
-            rpos[m] = self.flat_rpos[idx]
+        if R == 0:
+            return proj, qual, rpos
+        if self._srt is None:
+            self._srt = np.argsort(self.rstart, kind="stable")
+            self._rs_sorted = self.rstart[self._srt]
+            self._span_max = int((self.rend - self.rstart).max())
+        i0 = np.searchsorted(self._rs_sorted, off - self._span_max, "left")
+        i1 = np.searchsorted(self._rs_sorted, off, "right")
+        cand = self._srt[i0:i1]
+        sel = cand[off < self.rend[cand]]
+        if len(sel):
+            idx = self.base_idx[sel] + (off - self.rstart[sel])
+            proj[sel] = self.flat_proj[idx]
+            qual[sel] = self.flat_qual[idx]
+            rpos[sel] = self.flat_rpos[idx]
         return proj, qual, rpos
 
     def covers(self, lo: int, hi: int) -> np.ndarray:
