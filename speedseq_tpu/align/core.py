@@ -806,10 +806,18 @@ def fused_align_packed(
         B, S = cand.pos.shape
         sub_b = jnp.broadcast_to(sub[:, None], (B, S))
         sub_n_b = jnp.broadcast_to(sub_n[:, None], (B, S))
+        # 7 int32 rows instead of 11: the 8 sub-int16 fields (strand,
+        # score, qbeg, qend, n_ops, nm, sub, sub_n — all < 2^15 in
+        # magnitude; nm's -1 sentinel survives via the & 0xFFFF mask)
+        # share int32 slots pairwise — meta is the largest leaf of the
+        # per-batch fetch and the step is transfer-bound on the relay
+        pk = lambda hi, lo: (hi << 16) | (lo & 0xFFFF)
         metas.append(jnp.stack([
-            cand.pos, cand.strand, cand.score, cand.qbeg, cand.qend,
-            cand.rend_pos, cand.n_ops, cand.rstart, cand.nm,
-            sub_b, sub_n_b,
+            cand.pos, cand.rend_pos, cand.rstart,
+            pk(cand.strand, cand.score),
+            pk(cand.qbeg, cand.qend),
+            pk(cand.n_ops, cand.nm),
+            pk(sub_b, sub_n_b),
         ]))
         valid = (
             jnp.arange(cand.cigar_ops.shape[-1])[None, None, :]
@@ -875,14 +883,28 @@ class PackedEnd(NamedTuple):
 
 
 def unpack_fused(meta: np.ndarray, cigar: np.ndarray) -> list:
-    """Split fetched packed arrays into per-end host views (zero-copy)."""
+    """Split fetched packed arrays into per-end host views.
+
+    meta rows: [pos, rend_pos, rstart, strand|score, qbeg|qend,
+    n_ops|nm, sub|sub_n] with the paired rows holding two int16 fields
+    per int32 (hi<<16 | lo&0xFFFF; lo sign restored via int16 view)."""
     out = []
+
+    def hi(v):
+        return (v >> 16).astype(np.int32)
+
+    def lo(v):
+        return (v & 0xFFFF).astype(np.uint16).astype(np.int16).astype(
+            np.int32)
+
     for e in range(meta.shape[0]):
         m = meta[e]
         out.append(PackedEnd(
-            pos=m[0], strand=m[1], score=m[2], qbeg=m[3], qend=m[4],
-            rend_pos=m[5], n_ops=m[6], rstart=m[7], nm=m[8],
-            sub=m[9][:, 0], sub_n=m[10][:, 0],
+            pos=m[0], rend_pos=m[1], rstart=m[2],
+            strand=hi(m[3]), score=lo(m[3]),
+            qbeg=hi(m[4]), qend=lo(m[4]),
+            n_ops=hi(m[5]), nm=lo(m[5]),
+            sub=hi(m[6])[:, 0], sub_n=lo(m[6])[:, 0],
             cigar_ops=cigar[e] & 0xF,
             cigar_len=cigar[e].astype(np.int32) >> 4,
         ))

@@ -94,9 +94,11 @@ def _build_step(mesh: Mesh, axis: str, paired: bool, n_chains: int,
         xa_meta = xa_meta.at[:, 0].set(jnp.where(ri >= 0, ri + base, -1))
         overflow = jax.lax.pmax(overflow, axis)
         # global aligned-read count over ICI (the reference's analog is
-        # each pipe reporting to the driver's stdout)
+        # each pipe reporting to the driver's stdout); meta row 3 packs
+        # strand<<16|score (core.fused_align_packed layout)
         n_aligned = jax.lax.psum(
-            jnp.sum((meta[:, 2, :, 0] >= 30).astype(jnp.int32)), axis
+            jnp.sum(((meta[:, 3, :, 0] & 0xFFFF) >= 30).astype(jnp.int32)),
+            axis,
         )
         return meta, cig16, cigar, overflow, stats, xa_meta, xa_cig, n_aligned
 
