@@ -173,6 +173,42 @@ class CombinedClusters(NamedTuple):
     nz: Tuple[np.ndarray, np.ndarray]      # (C, 2) live curve window
 
 
+if _HAVE_JAX:
+
+    @functools.partial(jax.jit, static_argnames=("n_seg",))
+    def _scan_extents_jit(g, s1, e1, s2, e2, n_seg):
+        """Scan + per-cluster widths in ONE leaf (npad, 3):
+        col 0 = cids (row-aligned), cols 1-2 = per-SEGMENT widths of
+        side 1/2 (0 for empty segments) — the host only needs the max
+        width to size the combine program, so no second fetch of
+        extents is paid."""
+        cids = _cluster_scan_jit(g, s1, e1, s2, e2)
+
+        def width(start, endb):
+            lo = jax.ops.segment_min(start, cids, num_segments=n_seg)
+            hi = jax.ops.segment_max(endb, cids, num_segments=n_seg)
+            return jnp.where(hi >= lo, hi - lo, 0)
+
+        return jnp.stack([cids, width(s1, e1), width(s2, e2)], axis=1)
+
+    @functools.partial(jax.jit,
+                       static_argnames=("n_seg", "Wmax", "c_pad"))
+    def _combine_both_jit(cids, s1, l1, cur1, s2, l2, cur2, trim,
+                          n_seg, Wmax, c_pad):
+        """Both sides' curve combinations in one program, outputs
+        SLICED to the live cluster count: 2 leaves — ints (c_pad, 16)
+        and probs (2, c_pad, Wmax) — instead of 4 npad-row leaves
+        (per-LEAF fetches cost ~30 ms of relay latency and clusters are
+        5-50× fewer than evidence rows, docs/PERF_NOTES.md)."""
+        p1, i1 = _combine_jit(cids, s1, l1, cur1, trim,
+                              n_seg=n_seg, Wmax=Wmax)
+        p2, i2 = _combine_jit(cids, s2, l2, cur2, trim,
+                              n_seg=n_seg, Wmax=Wmax)
+        ints = jnp.concatenate([i1[:c_pad], i2[:c_pad]], axis=1)
+        probs = jnp.stack([p1[:c_pad], p2[:c_pad]])
+        return ints, probs
+
+
 def cluster_and_combine(
     gid: np.ndarray,
     start1: np.ndarray, len1: np.ndarray, curves1: np.ndarray,
@@ -182,7 +218,9 @@ def cluster_and_combine(
     """Run the device sweep + both per-side curve combinations.
 
     Inputs are evidence rows ALREADY sorted by (gid, start1, start2);
-    curves are (n, Dmax) padded probability rows."""
+    curves are (n, Dmax) padded probability rows.  Two lean rounds:
+    scan+widths (one small leaf), then both combines sliced to the
+    cluster count (two small leaves)."""
     n = len(gid)
     npad = _bucket(n, 64)
     pad_i = lambda a, fill: np.pad(
@@ -192,40 +230,31 @@ def cluster_and_combine(
     e1_p = pad_i(np.asarray(start1) + np.asarray(len1), 2**28 + 1)
     s2_p = pad_i(start2, 2**28)
     e2_p = pad_i(np.asarray(start2) + np.asarray(len2), 2**28 + 1)
-    cids_p = np.asarray(_cluster_scan_jit(g_p, s1_p, e1_p, s2_p, e2_p))
-    cids = cids_p[:n]
+    sx = np.asarray(_scan_extents_jit(g_p, s1_p, e1_p, s2_p, e2_p,
+                                      n_seg=npad))
+    cids = sx[:n, 0]
     C = int(cids[-1]) + 1 if n else 0
+    c_pad = _bucket(max(C, 1), 64)
+    w_need = int(max(sx[:C, 1].max() if C else 8,
+                     sx[:C, 2].max() if C else 8, 8))
+    Wmax = _pow2(w_need, 16)
+    cur1_p = np.zeros((npad, curves1.shape[1]), np.float32)
+    cur1_p[:n] = curves1
+    cur2_p = np.zeros((npad, curves2.shape[1]), np.float32)
+    cur2_p[:n] = curves2
+    cids_p = pad_i(cids, npad - 1)
+    ints, probs = jax.device_get(_combine_both_jit(
+        cids_p, pad_i(start1, 0), pad_i(len1, 1), jnp.asarray(cur1_p),
+        pad_i(start2, 0), pad_i(len2, 1), jnp.asarray(cur2_p),
+        jnp.float32(trim), n_seg=npad, Wmax=Wmax, c_pad=c_pad))
 
-    def side(start, clen, curves):
-        st = np.asarray(start, np.int64)
-        cl = np.asarray(clen, np.int64)
-        lo_h = np.full(C, 2**62, np.int64)
-        hi_h = np.full(C, -(2**62), np.int64)
-        np.minimum.at(lo_h, cids, st)
-        np.maximum.at(hi_h, cids, st + cl)
-        w_need = max(8, int((hi_h - lo_h).max()))
-        Wmax = _pow2(w_need, 16)
-        Dmax = curves.shape[1]
-        cur_p = np.zeros((npad, Dmax), np.float32)
-        cur_p[:n] = curves
-        return _combine_jit(
-            pad_i(cids, npad - 1), pad_i(start, 0), pad_i(clen, 1),
-            jnp.asarray(cur_p), jnp.float32(trim),
-            n_seg=npad, Wmax=Wmax)
+    def unpack(prob, i8):
+        i8 = i8[:C]
+        return (prob[:C], i8[:, 0], i8[:, 1], i8[:, 2:4],
+                i8[:, 4:6], i8[:, 6:8])
 
-    # dispatch both sides, then ONE device_get (4 leaves) — per-leaf
-    # host fetches dominate sv wall time on the relay otherwise
-    o1 = side(start1, len1, curves1)
-    o2 = side(start2, len2, curves2)
-    (p1, i1), (p2, i2) = jax.device_get((o1, o2))
-
-    def unpack(prob, ints):
-        ints = ints[:C]
-        return (prob[:C], ints[:, 0], ints[:, 1], ints[:, 2:4],
-                ints[:, 4:6], ints[:, 6:8])
-
-    p1, lo1, pos1, ci1, ci951, nz1_ = unpack(p1, i1)
-    p2, lo2, pos2, ci2, ci952, nz2_ = unpack(p2, i2)
+    p1, lo1, pos1, ci1, ci951, nz1_ = unpack(probs[0], ints[:, :8])
+    p2, lo2, pos2, ci2, ci952, nz2_ = unpack(probs[1], ints[:, 8:])
     return CombinedClusters(
         cids=cids, n_clusters=C,
         prob=(p1, p2), lo=(lo1, lo2), pos=(pos1, pos2),
