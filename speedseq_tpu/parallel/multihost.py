@@ -624,15 +624,20 @@ def _sv_worker_main(argv: List[str]) -> int:
 
         jax.config.update("jax_platforms", "cpu")
     output, num_p, pid, exdir, run_id = argv[:5]
-    from ..sv.engine import SVSample
+    from ..sv.engine import SVConfig, SVSample
 
+    cfg = SVConfig()
     samples = []
     for spec in argv[5:]:
+        if spec.startswith("--depth="):
+            # enable the CNV read-depth pass (-d) with this reference
+            cfg = SVConfig(annotate_depth=True, reference=spec[8:])
+            continue
         name, full, spl, disc = spec.split(":")
         samples.append(SVSample(name, full, spl, disc))
     init_distributed(num_processes=int(num_p), process_id=int(pid))
     out = sv_multihost(samples, output, int(num_p), int(pid), exdir,
-                       run_id=run_id)
+                       run_id=run_id, config=cfg)
     if out is not None:
         print(out)
     return 0

@@ -32,7 +32,7 @@ from ..formats.bed import BedInterval, longest_first, read_bed, windows_from_ref
 from ..formats.fasta import FastaFile
 from ..formats.vcf import VCFHeader, VCFWriter
 from ..formats.vcf_filter import compile_filter
-from .caller import CallerConfig, call_window, site_to_vcf
+from .caller import CallerConfig, site_to_vcf
 from .pileup import build_pileup, build_pileup_columns
 
 

@@ -243,7 +243,10 @@ def test_two_process_sv_record_equality(tmp_path):
             str(tmp_path / f"s{k}.splitters.bam"),
             str(tmp_path / f"s{k}.discordants.bam")))
 
-    single = run_sv(samples, str(tmp_path / "single.sv.vcf.gz"), SVConfig())
+    # annotate_depth exercises the per-sample CNV fan-out + CN FORMAT
+    # exchange (bin/speedseq:1509-1551) across processes too
+    svcfg = SVConfig(annotate_depth=True, reference=sub)
+    single = run_sv(samples, str(tmp_path / "single.sv.vcf.gz"), svcfg)
 
     out_multi = str(tmp_path / "multi.sv.vcf.gz")
     env = dict(os.environ, SSQ_FORCE_CPU="1", JAX_PLATFORMS="cpu",
@@ -257,7 +260,7 @@ def test_two_process_sv_record_equality(tmp_path):
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "speedseq_tpu.parallel.multihost",
              "sv", out_multi, "2", str(pid), str(tmp_path / "ex"), "rsv"]
-            + specs,
+            + specs + [f"--depth={sub}"],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True))
     try:
@@ -277,7 +280,12 @@ def test_two_process_sv_record_equality(tmp_path):
 
     assert recs(out_multi) == recs(single)
     assert len(recs(single)) > 0
+    assert any("CN" in l.split("\t")[8] for l in recs(single))
     assert os.path.exists(out_multi + ".tbi")
+    # readdepth side outputs written by each sample's OWNER process
+    base = out_multi[:-7]
+    for s_ in ("S0", "S1"):
+        assert os.path.exists(f"{base}.{s_}.readdepth.txt"), s_
 
 
 def test_two_process_reshard_record_equality(tmp_path):

@@ -816,3 +816,35 @@ def test_indel_snp_joint_numeric_fixture():
     assert abs(int(c.gq[0]) - want_gq) <= 1
     assert abs(c.qual - _qual_closed_form(want)) < 0.1
     assert int(c.qr[0]) == 6 * 30 and int(c.qa[0, 0]) == 6 * 30
+
+
+def test_genotype_sites_pooled_mesh_equality():
+    """The fused pooled-discrete joint (computed INSIDE the genotyping
+    program) must agree between single-device and the 8-device
+    shard_map'd path — GT/GQ/QUAL come from the joint posterior in
+    somatic mode, so this is the somatic 1-vs-8 contract."""
+    import jax
+    from speedseq_tpu.parallel.mesh import make_mesh
+    from speedseq_tpu.var.device import genotype_sites
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(11)
+    S, R = 40, 120
+    obs = rng.integers(-1, 3, (S, R)).astype(np.int8)
+    quals = rng.integers(3, 41, (S, R)).astype(np.float32)
+    sample = rng.integers(0, 2, R).astype(np.int32)
+    rpos = np.where(obs >= 0, rng.integers(0, 100, (S, R)), -1).astype(np.int32)
+    strand = rng.integers(0, 2, R).astype(np.int8)
+    rlen_half = np.full(R, 50.0, np.float32)
+    n_alts = rng.integers(1, 3, S).astype(np.int32)
+    g0 = genotype_sites(obs, quals, sample, rpos, strand, rlen_half,
+                        n_alts, 0.001, 2, mesh=None, pooled=True)
+    g1 = genotype_sites(obs, quals, sample, rpos, strand, rlen_half,
+                        n_alts, 0.001, 2, mesh=make_mesh(8), pooled=True)
+    assert g0.joint is not None and g1.joint is not None
+    assert np.array_equal(g0.joint.gn, g1.joint.gn)
+    assert np.array_equal(g0.joint.gt, g1.joint.gt)
+    assert np.array_equal(g0.joint.gq, g1.joint.gq)
+    assert np.allclose(g0.joint.qual, g1.joint.qual, atol=1e-3)
+    assert np.allclose(g0.gl, g1.gl, atol=1e-4)
