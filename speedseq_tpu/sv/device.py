@@ -195,18 +195,18 @@ if _HAVE_JAX:
                        static_argnames=("n_seg", "Wmax", "c_pad"))
     def _combine_both_jit(cids, s1, l1, cur1, s2, l2, cur2, trim,
                           n_seg, Wmax, c_pad):
-        """Both sides' curve combinations in one program, outputs
-        SLICED to the live cluster count: 2 leaves — ints (c_pad, 16)
-        and probs (2, c_pad, Wmax) — instead of 4 npad-row leaves
-        (per-LEAF fetches cost ~30 ms of relay latency and clusters are
-        5-50× fewer than evidence rows, docs/PERF_NOTES.md)."""
+        """Both sides' curve combinations in one program, packed into
+        ONE leaf SLICED to the live cluster count: (c_pad, 16 + 2·Wmax)
+        int32 = [ints₁ | ints₂ | bitcast(prob₁) | bitcast(prob₂)] —
+        per-LEAF fetches cost ~30 ms of relay latency and clusters are
+        5-50× fewer than evidence rows (docs/PERF_NOTES.md)."""
         p1, i1 = _combine_jit(cids, s1, l1, cur1, trim,
                               n_seg=n_seg, Wmax=Wmax)
         p2, i2 = _combine_jit(cids, s2, l2, cur2, trim,
                               n_seg=n_seg, Wmax=Wmax)
-        ints = jnp.concatenate([i1[:c_pad], i2[:c_pad]], axis=1)
-        probs = jnp.stack([p1[:c_pad], p2[:c_pad]])
-        return ints, probs
+        bc = lambda p: jax.lax.bitcast_convert_type(p[:c_pad], jnp.int32)
+        return jnp.concatenate(
+            [i1[:c_pad], i2[:c_pad], bc(p1), bc(p2)], axis=1)
 
 
 def cluster_and_combine(
@@ -243,18 +243,21 @@ def cluster_and_combine(
     cur2_p = np.zeros((npad, curves2.shape[1]), np.float32)
     cur2_p[:n] = curves2
     cids_p = pad_i(cids, npad - 1)
-    ints, probs = jax.device_get(_combine_both_jit(
+    packed = jax.device_get(_combine_both_jit(
         cids_p, pad_i(start1, 0), pad_i(len1, 1), jnp.asarray(cur1_p),
         pad_i(start2, 0), pad_i(len2, 1), jnp.asarray(cur2_p),
         jnp.float32(trim), n_seg=npad, Wmax=Wmax, c_pad=c_pad))
+    ints = packed[:, :16]
+    probs = np.ascontiguousarray(
+        packed[:, 16:]).view(np.float32).reshape(c_pad, 2, Wmax)
 
     def unpack(prob, i8):
         i8 = i8[:C]
         return (prob[:C], i8[:, 0], i8[:, 1], i8[:, 2:4],
                 i8[:, 4:6], i8[:, 6:8])
 
-    p1, lo1, pos1, ci1, ci951, nz1_ = unpack(probs[0], ints[:, :8])
-    p2, lo2, pos2, ci2, ci952, nz2_ = unpack(probs[1], ints[:, 8:])
+    p1, lo1, pos1, ci1, ci951, nz1_ = unpack(probs[:, 0], ints[:, :8])
+    p2, lo2, pos2, ci2, ci952, nz2_ = unpack(probs[:, 1], ints[:, 8:])
     return CombinedClusters(
         cids=cids, n_clusters=C,
         prob=(p1, p2), lo=(lo1, lo2), pos=(pos1, pos2),
@@ -358,12 +361,14 @@ if _HAVE_JAX:
         ref_n = rs_c + rp_c
 
         gl, gt, gq, sq, ab = _genotype_counts(ref_n, alt_n)
-        # pack into 2 leaves (ints (C,8), floats (C,5)) — one host fetch
+        # pack into ONE (C, 13) int32 leaf (floats bitcast) — per-leaf
+        # host fetches cost ~30 ms of relay latency each
         ints = jnp.stack(
             [ref_n, alt_n, rs_c, as_c, rp_c, ap_c, gt, gq], axis=1)
         flts = jnp.concatenate(
             [gl, sq[:, None], ab[:, None]], axis=1)
-        return ints, flts
+        return jnp.concatenate(
+            [ints, jax.lax.bitcast_convert_type(flts, jnp.int32)], axis=1)
 
     _svtyper_jit = jax.jit(_svtyper_kernel)
 
@@ -431,9 +436,9 @@ if _HAVE_JAX:
         return _svtyper_sharded(mesh, args)
 
     def svtyper_unpack(fetched, C):
-        """Split one fetched (ints, flts) pair back into the 11 columns."""
-        ints, flts = fetched
-        ints, flts = ints[:C], flts[:C]
+        """Split one fetched (C, 13) packed leaf into the 11 columns."""
+        ints = fetched[:C, :8]
+        flts = np.ascontiguousarray(fetched[:C, 8:]).view(np.float32)
         return (ints[:, 0], ints[:, 1], ints[:, 2], ints[:, 3],
                 ints[:, 4], ints[:, 5], flts[:, :3], ints[:, 6],
                 ints[:, 7], flts[:, 3], flts[:, 4])
@@ -464,7 +469,7 @@ if _HAVE_JAX:
         in_specs = (c_axis, c_axis) + (rep,) * 14 + (c_axis,) * 7 + (rep,) * 4
         fn = shard_map(
             _svtyper_kernel, mesh=mesh,
-            in_specs=in_specs, out_specs=(c_axis, c_axis), **kw)
+            in_specs=in_specs, out_specs=c_axis, **kw)
         return jax.jit(fn)(*args)
 
 
