@@ -71,7 +71,7 @@ def main():
         a.astype(np.uint8), ((0, 0), (0, W - L)), constant_values=4)
     lengths = np.full(B, L, dtype=np.int32)
 
-    from speedseq_tpu.align.core import fused_align_packed
+    from speedseq_tpu.align.core import fused_align_leaves, unpack_leaves
     from speedseq_tpu.align.sw import _pallas_ok
     import jax.numpy as jnp
 
@@ -86,15 +86,13 @@ def main():
         """The real per-batch device work + transfer of the align
         pipeline: phase-1 scoring for both ends, joint pair selection,
         split detection, phase-2 extension with in-kernel traceback, and
-        the packed meta+cigar-head device→host fetch (align.pipeline
-        fetches exactly this per batch)."""
-        meta, cig16, cigfull, ovf, stats, xa_meta, xa_cig = (
-            fused_align_packed(
-                fm, r1, l1, r2, l2, distro=distro, use_pallas=use_pallas,
-                kidx=kidx
-            ))
-        f = jax.device_get((meta, cig16, ovf, xa_meta, xa_cig))
-        if int(f[2]):
+        the 2-leaf packed device→host fetch (align.pipeline fetches
+        exactly this per batch)."""
+        i32, i16, cigfull, stats = fused_align_leaves(
+            fm, r1, l1, r2, l2, distro=distro, use_pallas=use_pallas,
+            kidx=kidx)
+        f = jax.device_get((i32, i16))
+        if unpack_leaves(f[0], f[1])[2]:
             jax.device_get(cigfull)
         return f
 

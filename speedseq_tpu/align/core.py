@@ -864,6 +864,68 @@ def fused_align_packed(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_chains", "stride", "min_seed_len", "max_hits", "params",
+        "use_pallas", "paired", "score_mode",
+    ),
+)
+def fused_align_leaves(
+    fm: FMIndex,
+    reads1: jnp.ndarray,
+    lengths1: jnp.ndarray,
+    reads2: Optional[jnp.ndarray] = None,
+    lengths2: Optional[jnp.ndarray] = None,
+    distro: Optional[jnp.ndarray] = None,
+    n_chains: int = 4,
+    stride: int = 8,
+    min_seed_len: int = 19,
+    max_hits: int = 4,
+    params: SWParams = SWParams(),
+    use_pallas: bool = False,
+    paired: bool = True,
+    kidx=None,
+    score_mode: str = "weight",
+):
+    """fused_align_packed with the per-batch fetch collapsed to TWO
+    leaves: one int32 ([E,B,S,C header | meta | xa_meta | overflow]) and
+    one int16 ([cigar16 | xa_cig]).  The relay pays ~30 ms of latency
+    PER FETCHED LEAF (docs/PERF_NOTES.md), so the 5-leaf production
+    fetch cost ~150 ms/batch of pure leaf latency.  cigar_full and
+    stats stay separate (fetched only on overflow / distro-estimation
+    batches).  Single-device path only — the mesh path keeps separate
+    leaves for per-axis sharding."""
+    meta, cig16, cigfull, ovf, stats, xam, xac = fused_align_packed(
+        fm, reads1, lengths1, reads2, lengths2, distro=distro,
+        n_chains=n_chains, stride=stride, min_seed_len=min_seed_len,
+        max_hits=max_hits, params=params, use_pallas=use_pallas,
+        paired=paired, kidx=kidx, score_mode=score_mode,
+    )
+    E, _, B, S = meta.shape
+    C = xam.shape[2]
+    hdr = jnp.asarray([E, B, S, C], jnp.int32)
+    i32 = jnp.concatenate(
+        [hdr, meta.reshape(-1), xam.reshape(-1), ovf.reshape(1)])
+    i16 = jnp.concatenate([cig16.reshape(-1), xac.reshape(-1)])
+    return i32, i16, cigfull, stats
+
+
+def unpack_leaves(i32: np.ndarray, i16: np.ndarray):
+    """(meta, xa_meta, overflow, cigar16, xa_cig) from the two fetched
+    leaves of fused_align_leaves (self-describing header)."""
+    E, B, S, C = (int(x) for x in i32[:4])
+    at = 4
+    meta = i32[at: at + E * 7 * B * S].reshape(E, 7, B, S)
+    at += E * 7 * B * S
+    xam = i32[at: at + E * 9 * C].reshape(E, 9, C)
+    ovf = int(i32[-1])
+    head = (len(i16) // (E * B * S + E * C))
+    cig16 = i16[: E * B * S * head].reshape(E, B, S, head)
+    xac = i16[E * B * S * head:].reshape(E, C, head)
+    return meta, xam, ovf, cig16, xac
+
+
 class PackedEnd(NamedTuple):
     """Host-side view of one end's packed fused output (numpy arrays)."""
 

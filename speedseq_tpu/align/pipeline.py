@@ -342,20 +342,29 @@ def align_stream(
         n = batches[0].n
         with metrics.timer("align.fetch_wait"):
             fetched = item["fut"].result()
-        cig = fetched[1]
-        if int(fetched[2]):
+        from .core import unpack_leaves, unpack_xa
+
+        if item["packed"]:
+            # single-device 2-leaf fetch (fused_align_leaves)
+            meta_h, xam_h, ovf_h, cig, xac_h = unpack_leaves(
+                fetched[0], fetched[1])
+            dist_idx = 2
+        else:
+            meta_h, cig, ovf_h, xam_h, xac_h = (
+                fetched[0], fetched[1], int(fetched[2]), fetched[3],
+                fetched[4])
+            dist_idx = 5
+        if ovf_h:
             # rare: some lane exceeded the cigar head slice — pay one
             # extra fetch for the full (E, B, S, MAX_OPS) array
             cig = jax.device_get(item["cigfull"])
-        ends = unpack_fused(fetched[0], cig)
-        from .core import unpack_xa
-
-        xas = unpack_xa(fetched[3], fetched[4])
+        ends = unpack_fused(meta_h, cig)
+        xas = unpack_xa(xam_h, xac_h)
         if est_distro:
             # the distro was estimated ON DEVICE from this batch's stats
             # (core.device_estimate_distro); the fetch carries the 4
             # floats back only for the host epilogue + logging
-            f = np.asarray(fetched[5], np.float64)
+            f = np.asarray(fetched[dist_idx], np.float64)
             distro = InsertDistro(
                 mean=float(f[0]), std=float(f[1]),
                 low=int(f[2]), high=int(f[3]))
@@ -440,8 +449,13 @@ def align_stream(
                     use_pallas=use_pallas,
                     kidx=kidx,
                 )[:7]
+                meta_d, cig16_d, cigfull_d, ovf_d, stats_d, xam_d, xac_d \
+                    = res
+                packed = False
             else:
-                res = fused_align_packed(
+                from .core import fused_align_leaves
+
+                i32_d, i16_d, cigfull_d, stats_d = fused_align_leaves(
                     fm,
                     seqs_p[0], lens_p[0],
                     seqs_p[1] if is_paired_batch else None,
@@ -453,7 +467,7 @@ def align_stream(
                     paired=is_paired_batch,
                     kidx=kidx,
                 )
-            meta_d, cig16_d, cigfull_d, ovf_d, stats_d, xam_d, xac_d = res
+                packed = True
             if est_distro:
                 # chain the distro estimate ON DEVICE: batch bi+1's dispatch
                 # consumes this (4,) array as a plain input, so the whole
@@ -466,12 +480,16 @@ def align_stream(
                                        jnp.float32))
                 distro_arr = device_estimate_distro(
                     stats_d, fb, qlen=cfg.max_read_len)
-            fetch_args = (meta_d, cig16_d, ovf_d, xam_d, xac_d) + (
-                (distro_arr,) if est_distro else ())
+            if packed:
+                fetch_args = (i32_d, i16_d) + (
+                    (distro_arr,) if est_distro else ())
+            else:
+                fetch_args = (meta_d, cig16_d, ovf_d, xam_d, xac_d) + (
+                    (distro_arr,) if est_distro else ())
             item = {
                 "bi": bi, "batches": batches, "seqs_p": seqs_p, "lens_p": lens_p,
                 "is_paired": is_paired_batch, "est_distro": est_distro,
-                "cigfull": cigfull_d,
+                "cigfull": cigfull_d, "packed": packed,
                 "fut": fetch_pool.submit(jax.device_get, fetch_args),
             }
             # 3-stage pipeline: main thread streams dispatches, the fetch
