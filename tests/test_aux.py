@@ -328,7 +328,7 @@ def test_var_window_failure_tolerance(monkeypatch, tmp_path):
     from speedseq_tpu.utils.metrics import metrics
     from speedseq_tpu.var import run_var
     from speedseq_tpu.var.engine import VarConfig
-    from speedseq_tpu.var import engine as var_engine
+    from speedseq_tpu.var import caller as var_caller
 
     genome = FastaFile(REF).fetch_encoded("20_slice")
     names, s1, q1, s2, q2, t = sim.simulate_pairs(
@@ -337,16 +337,16 @@ def test_var_window_failure_tolerance(monkeypatch, tmp_path):
     sim.to_fastq(str(d / "f1.fq"), str(d / "f2.fq"), names, s1, q1, s2, q2)
     outs = align_fastq(REF, str(d / "f1.fq"), str(d / "f2.fq"),
                        out_prefix=str(d / "ff"), config=AlignConfig(batch_size=256))
-    real_call = var_engine.call_window
+    real_prep = var_caller.prepare_window
     state = {"n": 0}
 
     def flaky(*a, **k):
         state["n"] += 1
         if state["n"] == 1:
             raise RuntimeError("injected window fault")
-        return real_call(*a, **k)
+        return real_prep(*a, **k)
 
-    monkeypatch.setattr(var_engine, "call_window", flaky)
+    monkeypatch.setattr(var_caller, "prepare_window", flaky)
     metrics.reset()
     out = run_var(REF, [outs["bam"]], str(d / "v.vcf.gz"),
                   config=VarConfig(window_size=10_000))
