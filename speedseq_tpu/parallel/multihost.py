@@ -501,8 +501,9 @@ def var_multihost(
     run_id: Optional[str] = None,
     windows_bed: Optional[str] = None,
     config=None,
+    somatic: bool = False,
 ) -> Optional[str]:
-    """One process's share of a multi-host var run.
+    """One process's share of a multi-host var (or somatic) run.
 
     Windows are assigned round-robin over the deterministic
     longest-first order (the reference fans freebayes windows over all
@@ -511,20 +512,34 @@ def var_multihost(
     sorted part, the exchange barrier synchronizes, and process 0
     performs the deterministic k-way merge into the final vcf.gz + tbi
     (record-for-record equal to a single-process run —
-    tests/test_multihost.py).  Prints per-process wall-clock and
-    exchange/merge overhead: the scaling evidence a single-node
-    environment can produce."""
+    tests/test_multihost.py).  ``somatic=True`` runs the
+    pooled-discrete [normal, tumor] engine + SSC filter over the same
+    window fan-out (the reference's somatic IS freebayes with its awk
+    filter, bin/speedseq:1059-1077); bam_paths must then be
+    [normal, tumor].  Prints per-process wall-clock and exchange/merge
+    overhead: the scaling evidence a single-node environment can
+    produce."""
     import time as _time
 
     from ..var.engine import VarConfig, run_var, build_var_header
 
-    cfg = config or VarConfig()
+    record_filter = None
+    if somatic:
+        from ..var.somatic import SomaticConfig, somatic_filter
+
+        scfg = SomaticConfig()
+        cfg = config or VarConfig(
+            min_qual=0.0, caller=scfg.caller, apply_balance_filter=False)
+        record_filter = somatic_filter(scfg)
+    else:
+        cfg = config or VarConfig()
     ex = make_exchange(exchange_dir, num_processes, process_id,
                        run_id=run_id)
     part = f"{output}.part{process_id}.vcfraw"
     t0 = _time.time()
     run_var(reference, bam_paths, output, windows_bed=windows_bed,
-            config=cfg, _shard=(num_processes, process_id),
+            config=cfg, record_filter=record_filter,
+            _shard=(num_processes, process_id),
             _part_out=part)
     t_windows = _time.time() - t0
     t0 = _time.time()
@@ -559,7 +574,13 @@ def var_multihost(
     samples, _, _ = _sample_map(readers, bam_paths)
     for rd in readers:
         rd.close()
-    header = build_var_header(refs, samples)
+    header = build_var_header(refs, samples, somatic=somatic)
+    if somatic and len(samples) == 2:
+        from ..var.somatic import write_ped
+
+        ped = (output[: -len(".vcf.gz")] + ".ped"
+               if output.endswith(".vcf.gz") else output + ".ped")
+        write_ped(ped, samples[1], samples[0])
     # streaming k-way heap merge of the sorted raw-byte parts: O(P·line)
     # memory instead of unpickling every process's record list into p0
     # RAM (the reference merges window files + text sort the same way,
@@ -655,12 +676,22 @@ def _var_worker_main(argv: List[str]) -> int:
     init_distributed(num_processes=int(num_p), process_id=int(pid))
     from ..var.engine import VarConfig
 
-    cfg = VarConfig()
+    somatic = "somatic" in rest
+    rest = [r for r in rest if r != "somatic"]
+    cfg = None
     if rest:                       # optional window size override
-        cfg = VarConfig(window_size=int(rest[0]))
+        if somatic:
+            from ..var.somatic import SomaticConfig
+
+            cfg = VarConfig(
+                min_qual=0.0, caller=SomaticConfig().caller,
+                apply_balance_filter=False,
+                window_size=int(rest[0]))
+        else:
+            cfg = VarConfig(window_size=int(rest[0]))
     out = var_multihost(
         reference, bams.split(","), output, int(num_p), int(pid), exdir,
-        run_id=run_id, config=cfg,
+        run_id=run_id, config=cfg, somatic=somatic,
     )
     if out is not None:
         print(out)

@@ -193,6 +193,7 @@ def run_var(
     record_filter=None,
     _shard: Optional[Tuple[int, int]] = None,
     _part_out: Optional[str] = None,
+    _somatic_header: bool = False,
 ) -> str:
     """Run variant calling; returns the output path.
 
@@ -420,7 +421,9 @@ def run_var(
                 fh.write(line)
         os.replace(tmp, _part_out)
         return _part_out
-    header = build_var_header(refs, samples)
+    # somatic mode declares ##INFO SSC (the reference injects it into
+    # the merged header, bin/speedseq:1087)
+    header = build_var_header(refs, samples, somatic=_somatic_header)
     with VCFWriter(output, header) as w_:
         for _, _, _, r in tagged:
             w_.write(r)

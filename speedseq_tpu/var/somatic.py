@@ -125,6 +125,7 @@ def run_somatic(
         windows_bed=windows_bed,
         config=var_cfg,
         record_filter=somatic_filter(cfg),
+        _somatic_header=True,          # ##INFO SSC (bin/speedseq:1087)
     )
     # PED for GEMINI loading
     from ..formats.bam import BAMReader

@@ -342,3 +342,99 @@ def test_two_process_reshard_record_equality(tmp_path):
 
     with gzip.open(str(tmp_path / "rsh.bam"), "rb") as fh:
         assert fh.read(4) == b"BAM\x01"
+
+
+def test_two_process_somatic_record_equality(tmp_path):
+    """2-process somatic (pooled-discrete windows round-robin + SSC
+    filter + streaming merge) must be record-identical to the
+    single-process run, with the ##INFO SSC header and the GEMINI PED
+    emitted by process 0 (reference fan-out bin/speedseq:1059-1077)."""
+    import gzip
+
+    from speedseq_tpu.formats.fasta import decode_bases
+    from speedseq_tpu.var.somatic import SomaticConfig, run_somatic
+
+    genome = FastaFile(REF).fetch_encoded("20_slice")[:30000]
+    sub = str(tmp_path / "sub.fa")
+    with open(sub, "w") as fh:
+        s = decode_bases(genome).decode()
+        fh.write(">sub\n" + "\n".join(
+            s[i:i + 60] for i in range(0, len(s), 60)) + "\n")
+    rng = np.random.default_rng(5)
+    hap, variants, coord = sim.mutate(genome, rng, snv_rate=0.002,
+                                      indel_rate=0.0003)
+    bams = {}
+    for tag, gsrc, hsrc, seed in (("NORMAL", genome, None, 6),
+                                  ("TUMOR", genome, hap, 7)):
+        npairs = int(20 * len(genome) / 200)
+        names, s1, q1, s2, q2, _ = sim.simulate_pairs(
+            gsrc, npairs, read_len=100, seed=seed,
+            diploid_genome=hsrc, coord_map=coord if hsrc is not None
+            else None)
+        sim.to_fastq(str(tmp_path / f"{tag}1.fq"),
+                     str(tmp_path / f"{tag}2.fq"), names, s1, q1, s2, q2)
+        align_fastq(sub, str(tmp_path / f"{tag}1.fq"),
+                    str(tmp_path / f"{tag}2.fq"),
+                    out_prefix=str(tmp_path / tag),
+                    config=AlignConfig(batch_size=256, sample=tag,
+                                       rg_id=tag))
+        bams[tag] = str(tmp_path / f"{tag}.bam")
+
+    from speedseq_tpu.var.engine import VarConfig
+    from speedseq_tpu.var.somatic import somatic_filter
+
+    scfg = SomaticConfig()
+    single = run_somatic(sub, bams["NORMAL"], bams["TUMOR"],
+                         str(tmp_path / "single.som.vcf.gz"),
+                         config=SomaticConfig(
+                             caller=scfg.caller))
+    # single-process somatic declares the SSC header
+    with gzip.open(single, "rt") as fh:
+        head = [l for l in fh if l.startswith("#")]
+    assert any("ID=SSC" in l for l in head)
+
+    out_multi = str(tmp_path / "multi.som.vcf.gz")
+    env = dict(os.environ, SSQ_FORCE_CPU="1", JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.pathsep.join(sys.path))
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "").replace(
+        "--xla_force_host_platform_device_count=8", "").strip()
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "speedseq_tpu.parallel.multihost",
+             "var", sub, f"{bams['NORMAL']},{bams['TUMOR']}", out_multi,
+             "2", str(pid), str(tmp_path / "ex"), "rsom", "somatic",
+             "10000"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    try:
+        outs = [p.communicate(timeout=540) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se[-2000:]
+
+    def recs(path):
+        with gzip.open(path, "rt") as fh:
+            return [l for l in fh if not l.startswith("#")]
+
+    # compare against a single-process run at the SAME window size the
+    # workers used (run_var with the somatic engine config + SSC filter
+    # — exactly what run_somatic/var_multihost drive internally)
+    from speedseq_tpu.var import run_var
+    single_w = run_var(
+        sub, [bams["NORMAL"], bams["TUMOR"]],
+        str(tmp_path / "single_w.som.vcf.gz"),
+        config=VarConfig(min_qual=0.0, caller=scfg.caller,
+                         apply_balance_filter=False, window_size=10_000),
+        record_filter=somatic_filter(SomaticConfig(caller=scfg.caller)),
+        _somatic_header=True)
+    m = recs(out_multi)
+    assert m == recs(single_w)
+    assert len(m) > 0
+    assert all("SSC=" in l for l in m)
+    with gzip.open(out_multi, "rt") as fh:
+        assert any("ID=SSC" in l for l in fh if l.startswith("#"))
+    assert os.path.exists(out_multi[:-len(".vcf.gz")] + ".ped")
